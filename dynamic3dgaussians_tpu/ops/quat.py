@@ -1,0 +1,84 @@
+"""Quaternion and rotation utilities (pure JAX, fully vectorized).
+
+Capability parity with the reference's quaternion helpers:
+  - quat_mult            (reference helpers.py:126-133)
+  - quat_to_rotmat       (reference external.py:61-78 `build_rotation`)
+  - cont_6d_to_rotmat    (reference motion_utils.py 6D-continuous rotations)
+
+Convention: quaternions are (w, x, y, z), arrays shaped (..., 4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize along the last axis (torch.nn.functional.normalize equiv)."""
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(norm, eps)
+
+
+def quat_mult(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of (..., 4) wxyz quaternions."""
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def conjugate(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion conjugate (inverse rotation for unit quats)."""
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_to_rotmat(q: jnp.ndarray, normalized: bool = False) -> jnp.ndarray:
+    """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix.
+
+    Matches the standard form used by the reference (external.py:61-78).
+    """
+    if not normalized:
+        q = normalize(q)
+    r, x, y, z = jnp.moveaxis(q, -1, 0)
+    row0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1
+    )
+    row1 = jnp.stack(
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], axis=-1
+    )
+    row2 = jnp.stack(
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], axis=-1
+    )
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors v (..., 3) by unit quaternions q (..., 4)."""
+    R = quat_to_rotmat(q)
+    return jnp.einsum("...ij,...j->...i", R, v)
+
+
+def cont_6d_to_rotmat(d6: jnp.ndarray) -> jnp.ndarray:
+    """6D continuous rotation representation -> (..., 3, 3) rotation matrix.
+
+    Gram–Schmidt on the two column vectors (Zhou et al., CVPR'19); capability
+    parity with the motion-basis rotations of reference motion_utils.py.
+    """
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def rotmat_to_cont_6d(R: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of cont_6d_to_rotmat: take the first two columns."""
+    return jnp.concatenate([R[..., :, 0], R[..., :, 1]], axis=-1)
