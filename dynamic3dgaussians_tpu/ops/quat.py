@@ -10,13 +10,19 @@ Convention: quaternions are (w, x, y, z), arrays shaped (..., 4).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """L2-normalize along the last axis (torch.nn.functional.normalize equiv)."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """L2-normalize along the last axis (torch.nn.functional.normalize equiv).
+
+    NaN-safe at q == 0 (capacity-padding rows): rsqrt of a clamped sum keeps
+    both the value and the VJP finite, where sqrt-then-divide would emit
+    inf * 0 = NaN cotangents.
+    """
+    sumsq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(jnp.maximum(sumsq, eps * eps))
 
 
 def quat_mult(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:

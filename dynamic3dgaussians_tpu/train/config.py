@@ -1,0 +1,68 @@
+"""Typed config tree for training runs.
+
+Replaces the reference's dual config story (reflection-based ParamGroup
+argparse in arguments/__init__.py vs mutually inconsistent hard-coded lr
+dicts across train.py:119-135 / dyn_train.py:215-232 / ssd_train.py:277-293 —
+SURVEY.md §5.6) with one dataclass tree, serializable next to checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Optional, Tuple
+
+from dynamic3dgaussians_tpu.train.losses import DEFAULT_LOSS_WEIGHTS
+from dynamic3dgaussians_tpu.train.optim import DEFAULT_LRS
+
+
+@dataclasses.dataclass
+class RasterSettings:
+    tile_h: int = 16
+    tile_w: int = 16
+    chunk: int = 128
+    max_per_tile: int = 1024
+    max_tiles_per_gaussian: int = 32
+    pairs_per_gaussian: int = 8
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # schedule (reference train_beffor.py:295-307)
+    num_timesteps: int = 3
+    iters_first_timestep: int = 5000
+    iters_per_timestep: int = 2000
+    # densification schedule (external.py:244-292)
+    densify_start: int = 500
+    densify_end: int = 5000
+    densify_every: int = 100
+    opacity_reset_every: int = 3000
+    # model
+    capacity: Optional[int] = None     # default: 4x initial points
+    num_knn: int = 20                  # rigidity graph (train_beffor.py:243)
+    knn_weight_beta: float = 2000.0    # exp(-2000 * d^2)
+    semantic_dim: int = 0
+    sh_degree: int = 0
+    # losses / lrs
+    loss_weights: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_LOSS_WEIGHTS))
+    lrs: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_LRS))
+    # params frozen after the first timestep (train_beffor.py:259-262)
+    freeze_after_t0: Tuple[str, ...] = ("logit_opacities", "log_scales",
+                                        "cam_m", "cam_c")
+    raster: RasterSettings = dataclasses.field(default_factory=RasterSettings)
+    seed: int = 0
+    report_every: int = 100
+    # parallelism: number of cameras batched per step (data-parallel axis)
+    cams_per_step: int = 1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        d = json.loads(s)
+        d["raster"] = RasterSettings(**d.get("raster", {}))
+        d["freeze_after_t0"] = tuple(d.get("freeze_after_t0", ()))
+        return TrainConfig(**d)

@@ -1,0 +1,142 @@
+"""Training losses: image/seg/depth terms + the physics regularizer family.
+
+Functional parity with the reference loss stack:
+  * l1/weighted-l2 primitives        (helpers.py:110-123)
+  * 0.8*L1 + 0.2*DSSIM image loss    (train_beffor.py:163)
+  * pearson depth loss               (train_beffor.py:170-177)
+  * rigid/rot/iso/floor/bg/soft-col  (train_beffor.py:183-208)
+  * default weights                  (train_beffor.py:210-211)
+
+TPU-first difference: the reference boolean-indexes foreground subsets
+(`fg_pts = pts[is_fg]`, dynamic shapes); here everything stays capacity-padded
+and masked, with exact masked means — this is the hot loop the upstream README
+itself measured ~20x faster as compiled JAX (README.md:90-92).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from dynamic3dgaussians_tpu.ops import quat
+from dynamic3dgaussians_tpu.ops.ssim import calc_ssim
+
+DEFAULT_LOSS_WEIGHTS: Dict[str, float] = {
+    "im": 5.0, "seg": 2.0, "depth": 0.0, "rigid": 4.0, "rot": 4.0,
+    "iso": 2.0, "floor": 2.0, "bg": 20.0, "soft_col_cons": 0.01,
+}
+
+
+def l1_loss_v1(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l1_loss_v2(x, y):
+    return jnp.mean(jnp.sum(jnp.abs(x - y), axis=-1))
+
+
+def weighted_l2_loss_v1(x, y, w):
+    return jnp.mean(jnp.sqrt((x - y) ** 2 * w + 1e-20))
+
+
+def weighted_l2_loss_v2(x, y, w):
+    return jnp.mean(jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) * w + 1e-20))
+
+
+def masked_mean(x, mask):
+    # jnp.where (not multiply) so NaN/inf in masked-out capacity-padding rows
+    # can't poison the sum or its gradient.
+    m = mask.astype(x.dtype)
+    return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def psnr(pred, gt):
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def pearson_corrcoef(x, y):
+    x = x.reshape(-1) - jnp.mean(x)
+    y = y.reshape(-1) - jnp.mean(y)
+    denom = jnp.sqrt(jnp.sum(x * x) * jnp.sum(y * y)) + 1e-12
+    return jnp.sum(x * y) / denom
+
+
+def image_loss(pred, gt, l1_weight: float = 0.8):
+    """0.8 * L1 + 0.2 * (1 - SSIM), channels-last images."""
+    return l1_weight * l1_loss_v1(pred, gt) + (1.0 - l1_weight) * (
+        1.0 - calc_ssim(pred, gt))
+
+
+def depth_pearson_loss(pred_depth, gt_depth):
+    """min over the two inverse-depth pearson variants (train_beffor:174-177)."""
+    a = 1.0 - pearson_corrcoef(-gt_depth, pred_depth)
+    b = 1.0 - pearson_corrcoef(1.0 / (gt_depth + 200.0), pred_depth)
+    return jnp.minimum(a, b)
+
+
+def apply_cam_correction(img, cam_m, cam_c):
+    """Per-camera affine color correction exp(m)*img + c (train.py:161)."""
+    return jnp.exp(cam_m)[None, None, :] * img + cam_c[None, None, :]
+
+
+def physics_losses(act_means: jnp.ndarray, act_rots: jnp.ndarray,
+                   rgb_colors: jnp.ndarray, variables: Dict,
+                   is_fg: jnp.ndarray, alive: jnp.ndarray) -> Dict:
+    """rigid / rot / iso / floor / bg / soft_col_cons for t > 0.
+
+    Args (all capacity-padded):
+      act_means: (cap, 3) current means.
+      act_rots: (cap, 4) normalized current rotations.
+      rgb_colors: (cap, 3) raw color params.
+      variables: carries the frozen t-1 state and the 20-NN graph:
+        neighbor_indices (cap, K) int32 (-1 = invalid row/slot),
+        neighbor_weight (cap, K) = exp(-2000 * sq_dist),
+        neighbor_dist (cap, K), prev_inv_rot (cap, 4), prev_offset (cap, K, 3),
+        prev_col (cap, 3), init_bg_pts (cap, 3), init_bg_rot (cap, 4).
+      is_fg: (cap,) foreground mask (seg_colors[:, 0] > 0.5).
+      alive: (cap,) slot liveness.
+    """
+    idx = variables["neighbor_indices"]
+    w = variables["neighbor_weight"]
+    k = idx.shape[1]
+    fg = is_fg & alive
+    row_ok = fg[:, None] & (idx >= 0)
+    safe_idx = jnp.maximum(idx, 0)
+
+    rel_rot = quat.quat_mult(act_rots, variables["prev_inv_rot"])
+    R = quat.quat_to_rotmat(rel_rot, normalized=False)
+
+    neighbor_pts = act_means[safe_idx]                       # (cap, K, 3)
+    curr_offset = neighbor_pts - act_means[:, None, :]
+    # rotate current offsets into the previous frame: R_i^T @ offset
+    curr_in_prev = jnp.einsum("nji,nkj->nki", R, curr_offset)
+
+    rigid_term = jnp.sqrt(
+        jnp.sum((curr_in_prev - variables["prev_offset"]) ** 2, axis=-1)
+        * w + 1e-20)
+    losses = {"rigid": masked_mean(rigid_term, row_ok)}
+
+    rot_term = jnp.sqrt(
+        jnp.sum((rel_rot[safe_idx] - rel_rot[:, None, :]) ** 2, axis=-1)
+        * w + 1e-20)
+    losses["rot"] = masked_mean(rot_term, row_ok)
+
+    curr_mag = jnp.sqrt(jnp.sum(curr_offset ** 2, axis=-1) + 1e-20)
+    iso_term = jnp.sqrt((curr_mag - variables["neighbor_dist"]) ** 2
+                        * w + 1e-20)
+    losses["iso"] = masked_mean(iso_term, row_ok)
+
+    losses["floor"] = masked_mean(jnp.maximum(act_means[:, 1], 0.0), fg)
+
+    bg = (~is_fg) & alive
+    bg_pts_term = jnp.sum(jnp.abs(act_means - variables["init_bg_pts"]),
+                          axis=-1)
+    bg_rot_term = jnp.sum(jnp.abs(act_rots - variables["init_bg_rot"]),
+                          axis=-1)
+    losses["bg"] = masked_mean(bg_pts_term, bg) + masked_mean(bg_rot_term, bg)
+
+    col_term = jnp.sum(jnp.abs(rgb_colors - variables["prev_col"]), axis=-1)
+    losses["soft_col_cons"] = masked_mean(col_term, alive)
+    return losses

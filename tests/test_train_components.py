@@ -1,0 +1,196 @@
+"""Losses, Adam + surgery, densify/prune under fixed capacity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic3dgaussians_tpu.models import gaussians as G
+from dynamic3dgaussians_tpu.train import densify as D
+from dynamic3dgaussians_tpu.train import losses as L
+from dynamic3dgaussians_tpu.train import optim
+
+
+# ---------- losses ----------
+
+def test_pearson_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=300).astype(np.float32)
+    y = (0.7 * x + 0.3 * rng.normal(size=300)).astype(np.float32)
+    got = float(L.pearson_corrcoef(jnp.asarray(x), jnp.asarray(y)))
+    want = np.corrcoef(x, y)[0, 1]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_weighted_l2_matches_reference_formula():
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(50, 20, 3)).astype(np.float32)
+    y = rng.normal(size=(50, 20, 3)).astype(np.float32)
+    w = rng.uniform(size=(50, 20)).astype(np.float32)
+    got = float(L.weighted_l2_loss_v2(jnp.asarray(x), jnp.asarray(y),
+                                      jnp.asarray(w)))
+    want = np.sqrt(((x - y) ** 2).sum(-1) * w + 1e-20).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_physics_losses_zero_when_static():
+    """If nothing moved since t-1, rigid/rot/iso/bg are ~0."""
+    cap, k = 64, 8
+    rng = np.random.RandomState(2)
+    means = jnp.asarray(rng.normal(size=(cap, 3)), jnp.float32)
+    rots = jnp.asarray(rng.normal(size=(cap, 4)), jnp.float32)
+    rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+    colors = jnp.asarray(rng.uniform(size=(cap, 3)), jnp.float32)
+    alive = jnp.ones(cap, bool)
+    is_fg = jnp.asarray(np.arange(cap) < 32)
+
+    from dynamic3dgaussians_tpu.ops.knn import knn
+    from dynamic3dgaussians_tpu.ops import quat
+    sq, idx = knn(means, k, mask=is_fg, row_chunk=64, col_chunk=64)
+    sq = jnp.where(idx >= 0, sq, 0.0)
+    variables = {
+        "neighbor_indices": idx,
+        "neighbor_weight": jnp.exp(-2000.0 * sq),
+        "neighbor_dist": jnp.sqrt(sq),
+        "prev_inv_rot": quat.conjugate(rots),
+        "prev_offset": means[jnp.maximum(idx, 0)] - means[:, None],
+        "prev_col": colors,
+        "init_bg_pts": means,
+        "init_bg_rot": rots,
+    }
+    out = L.physics_losses(means, rots, colors, variables, is_fg, alive)
+    for name in ("rigid", "rot", "iso", "bg", "soft_col_cons"):
+        assert float(out[name]) < 1e-4, (name, float(out[name]))
+
+
+def test_physics_losses_detect_motion():
+    cap, k = 64, 8
+    rng = np.random.RandomState(3)
+    # dense cluster: neighbor d^2 ~ 1e-4 so exp(-2000 d^2) weights stay ~1
+    means = jnp.asarray(rng.normal(size=(cap, 3)) * 0.02, jnp.float32)
+    rots = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (cap, 1))
+    colors = jnp.asarray(rng.uniform(size=(cap, 3)), jnp.float32)
+    alive = jnp.ones(cap, bool)
+    is_fg = jnp.asarray(np.arange(cap) < 32)
+    from dynamic3dgaussians_tpu.ops.knn import knn
+    from dynamic3dgaussians_tpu.ops import quat
+    sq, idx = knn(means, k, mask=is_fg, row_chunk=64, col_chunk=64)
+    sq = jnp.where(idx >= 0, sq, 0.0)
+    variables = {
+        "neighbor_indices": idx,
+        "neighbor_weight": jnp.exp(-2000.0 * sq),
+        "neighbor_dist": jnp.sqrt(sq),
+        "prev_inv_rot": quat.conjugate(rots),
+        "prev_offset": means[jnp.maximum(idx, 0)] - means[:, None],
+        "prev_col": colors,
+        "init_bg_pts": means,
+        "init_bg_rot": rots,
+    }
+    # squash fg points toward their centroid -> iso/rigid fire
+    squashed = means.at[:32].set(means[:32] * 0.5)
+    out = L.physics_losses(squashed, rots, colors, variables, is_fg, alive)
+    assert float(out["iso"]) > 1e-3
+    assert float(out["rigid"]) > 1e-3
+
+
+# ---------- Adam ----------
+
+def test_adam_matches_torch_reference():
+    import torch
+    rng = np.random.RandomState(4)
+    p0 = rng.normal(size=(20, 3)).astype(np.float32)
+    params = {"x": jnp.asarray(p0)}
+    state = optim.init(params)
+    lrs = {"x": jnp.float32(0.01)}
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([{"params": [tp], "lr": 0.01}], lr=0.0, eps=1e-15)
+
+    for it in range(5):
+        g = rng.normal(size=(20, 3)).astype(np.float32)
+        params, state = optim.step(params, {"x": jnp.asarray(g)}, state, lrs)
+        tp.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["x"]),
+                               tp.detach().numpy(), atol=1e-5)
+
+
+def test_adam_moment_surgery():
+    params = {"x": jnp.ones((8, 2))}
+    state = optim.init(params)
+    params, state = optim.step(params, {"x": jnp.ones((8, 2))}, state,
+                               {"x": jnp.float32(0.1)})
+    assert np.abs(np.asarray(state.mu["x"])).max() > 0
+    state = optim.reset_moments(state, "x",
+                                mask=jnp.asarray(np.arange(8) < 4))
+    assert np.abs(np.asarray(state.mu["x"][:4])).max() == 0
+    assert np.abs(np.asarray(state.mu["x"][4:])).max() > 0
+
+
+# ---------- densify ----------
+
+def _toy_state(cap=64, n=20, seed=5):
+    rng = np.random.RandomState(seed)
+    pt = np.concatenate([
+        rng.normal(0, 0.3, (n, 3)), rng.uniform(0, 1, (n, 3)),
+        (rng.uniform(size=(n, 1)) < 0.5).astype(np.float32)], axis=-1)
+    w2c = np.tile(np.eye(4)[None], (3, 1, 1))
+    w2c[:, 2, 3] = [4.0, 5.0, 6.0]
+    params, variables = G.init_params(pt.astype(np.float32), w2c,
+                                      capacity=cap)
+    return params, variables, optim.init(params), n
+
+
+def test_densify_clone_and_split():
+    params, variables, opt_state, n = _toy_state()
+    r = float(variables["scene_radius"])
+    # gaussian 0: small (clone); gaussian 1: big (split); both high-grad
+    ls = np.array(params["log_scales"])
+    ls[0] = np.log(0.001 * r)
+    ls[1] = np.log(0.05 * r)
+    params["log_scales"] = jnp.asarray(ls)
+    variables["means2D_gradient_accum"] = jnp.zeros(64).at[0].set(1.0)\
+        .at[1].set(1.0)
+    variables["denom"] = jnp.ones(64)
+
+    new_p, new_v, new_opt, stats = D.densify(
+        params, variables, opt_state, jnp.int32(600), jax.random.PRNGKey(0))
+    assert int(stats.n_cloned) == 1
+    assert int(stats.n_split) == 1
+    assert int(stats.n_dropped_capacity) == 0
+    # net: +1 clone, split parent -> 2 children (net +1), minus prunes
+    assert int(stats.n_alive) == n + 2 - int(stats.n_pruned)
+    # clone landed in a previously-dead slot with identical values
+    clone_slot = n  # first free slot
+    np.testing.assert_allclose(np.asarray(new_p["rgb_colors"][clone_slot]),
+                               np.asarray(params["rgb_colors"][0]))
+    # split children have shrunken scales
+    np.testing.assert_allclose(np.asarray(new_p["log_scales"][1]),
+                               ls[1] - np.log(1.6), atol=1e-6)
+
+
+def test_densify_prunes_transparent():
+    params, variables, opt_state, n = _toy_state()
+    lo = np.array(params["logit_opacities"])
+    lo[:5] = -10.0  # sigmoid ~ 5e-5 < 0.005
+    params["logit_opacities"] = jnp.asarray(lo)
+    new_p, new_v, _, stats = D.densify(
+        params, variables, opt_state, jnp.int32(600), jax.random.PRNGKey(0))
+    assert int(stats.n_pruned) >= 5
+    assert not bool(new_v["alive"][0])
+
+
+def test_densify_capacity_overflow_reported():
+    params, variables, opt_state, n = _toy_state(cap=32, n=30)
+    variables["means2D_gradient_accum"] = jnp.ones(32)
+    variables["denom"] = jnp.ones(32)
+    # everything wants to clone/split but only 2 free slots
+    _, _, _, stats = D.densify(params, variables, opt_state,
+                               jnp.int32(600), jax.random.PRNGKey(0))
+    assert int(stats.n_dropped_capacity) > 0
+
+
+def test_opacity_reset():
+    params, variables, opt_state, n = _toy_state()
+    new_p, new_opt = D.reset_opacity(params, opt_state)
+    op = jax.nn.sigmoid(np.asarray(new_p["logit_opacities"]))
+    np.testing.assert_allclose(op, 0.01, atol=1e-5)
