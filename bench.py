@@ -1,0 +1,70 @@
+"""Benchmark: render throughput at 200k gaussians on the available device.
+
+Prints ONE JSON line:
+  {"metric": "render_fps_200k", "value": N, "unit": "fps", "vs_baseline": R}
+
+Baseline: the upstream reference README claims ~800 FPS raw render of a
+trained dynamic scene on its (unstated) single GPU (/root/reference/
+README.md:98, BASELINE.md). vs_baseline = our_fps / 800.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.ops.camera import make_camera
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+
+    n = 200_000
+    h, w = 360, 640
+    rng = np.random.RandomState(0)
+    # trained-scene-like statistics: small, mostly-opaque gaussians
+    means = rng.uniform(-2.0, 2.0, (n, 3)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.5, 0.99, (n,)).astype(np.float32)
+    scales = rng.uniform(0.004, 0.015, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 6.0
+    f = 500.0
+    cam = make_camera(w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c)
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128, max_per_tile=2048,
+                       max_tiles_per_gaussian=32, pairs_per_gaussian=8)
+
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+
+    @jax.jit
+    def fwd(means3d, colors, opacity, scales, rotations):
+        return render(cam, means3d, colors, opacity, scales, rotations,
+                      config=cfg).rgb
+
+    out = fwd(*args)
+    out.block_until_ready()  # compile + warmup
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(*args)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+    print(json.dumps({
+        "metric": "render_fps_200k",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 800.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

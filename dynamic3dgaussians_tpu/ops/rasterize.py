@@ -86,8 +86,15 @@ def _grad_gate(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _composite_tiles(cam: Camera, proj: Projected, colors: jnp.ndarray,
-                     opacity: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig):
-    """Tile-binned compositing over the whole image (the hot path)."""
+                     opacity: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
+                     tile_sharding=None):
+    """Tile-binned compositing over the whole image (the hot path).
+
+    tile_sharding: optional jax.sharding.NamedSharding striping the tile axis
+    across devices (pixel/tile sharding, SURVEY.md §7 step 9 stage B) —
+    projection/binning stay replicated, the heavy per-tile compositing is
+    constraint-sharded and XLA inserts the gather of the final image.
+    """
     h, w = cam.height, cam.width
     th, tw = cfg.tile_h, cfg.tile_w
     grid_h, grid_w = -(-h // th), -(-w // tw)
@@ -105,6 +112,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors: jnp.ndarray,
     in_list = slot[None, :] < jnp.minimum(bins.tile_counts, mt)[:, None]
     n_tile_overflow = jnp.sum(jnp.maximum(bins.tile_counts - mt, 0))
     ids = bins.gaussian_ids[jnp.clip(idx, 0, bins.gaussian_ids.shape[0] - 1)]
+    if tile_sharding is not None:
+        ids = jax.lax.with_sharding_constraint(ids, tile_sharding)
 
     g_mean2d = proj.mean2d[ids]                                   # (T, MT, 2)
     g_conic = proj.conic[ids]
@@ -172,7 +181,8 @@ def render(cam: Camera,
            mean2d_probe_ndc: Optional[jnp.ndarray] = None,
            grad_mask: Optional[jnp.ndarray] = None,
            method: str = "tiled",
-           config: Optional[RasterConfig] = None) -> RenderOutput:
+           config: Optional[RasterConfig] = None,
+           tile_sharding=None) -> RenderOutput:
     """Differentiable gaussian-splat render (the framework's L1 boundary).
 
     Args:
@@ -231,7 +241,8 @@ def render(cam: Camera,
         out.setdefault("n_dropped_rect", jnp.int32(0))
         out.setdefault("n_dropped_tile_overflow", jnp.int32(0))
     elif method == "tiled":
-        out = _composite_tiles(cam, proj, all_chan, opacity, full_bg, cfg)
+        out = _composite_tiles(cam, proj, all_chan, opacity, full_bg, cfg,
+                               tile_sharding=tile_sharding)
     else:
         raise ValueError(f"unknown render method: {method}")
 

@@ -1,0 +1,91 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynamic3dgaussians_tpu.data import synthetic
+from dynamic3dgaussians_tpu.models import gaussians as G
+from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+from dynamic3dgaussians_tpu.parallel.camera_dp import collate, make_dp_train_step
+from dynamic3dgaussians_tpu.parallel.mesh import make_mesh
+from dynamic3dgaussians_tpu.train import optim
+from dynamic3dgaussians_tpu.train.config import RasterSettings, TrainConfig
+from dynamic3dgaussians_tpu.train.trainer import make_train_step, raster_config
+
+RS = RasterSettings(chunk=64, max_per_tile=512, max_tiles_per_gaussian=64,
+                    pairs_per_gaussian=16)
+
+
+@pytest.fixture(scope="module")
+def world():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    scene = synthetic.make_gt_scene(n_fg=40, n_bg=80, seed=0)
+    dataset, w2c, cams = synthetic.make_dataset(scene, num_t=1, num_cams=8,
+                                                w=48, h=32, f=40.0)
+    pt = synthetic.init_point_cloud(scene, noise=0.05)
+    params, variables = G.init_params(pt, w2c, capacity=256)
+    return scene, dataset, params, variables
+
+
+def test_dp_step_matches_single_device(world):
+    scene, dataset, params, variables = world
+    cfg = TrainConfig(raster=RS, capacity=256)
+    rcfg = raster_config(cfg)
+    mesh = make_mesh((8,), ("data",))
+    dp_step = make_dp_train_step(cfg, rcfg, mesh)
+    single_step = make_train_step(cfg, rcfg)
+
+    batch = collate(dataset[0])  # 8 cameras
+    opt_state = optim.init(params)
+    lrs = {k: jnp.float32(0.01) for k in params}
+
+    p_dp, o_dp, v_dp, m_dp = dp_step(params, opt_state, variables, batch,
+                                     lrs, True)
+    p_sg, o_sg, v_sg, m_sg = single_step(params, opt_state, variables, batch,
+                                         lrs, True)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sg["loss"]),
+                               rtol=1e-5)
+    for k in p_dp:
+        np.testing.assert_allclose(np.asarray(p_dp[k]), np.asarray(p_sg[k]),
+                                   atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_dp["means2D_gradient_accum"]),
+                               np.asarray(v_sg["means2D_gradient_accum"]),
+                               atol=1e-5)
+
+
+def test_dp_step_multiple_iterations_stay_finite(world):
+    scene, dataset, params, variables = world
+    cfg = TrainConfig(raster=RS, capacity=256)
+    mesh = make_mesh((8,), ("data",))
+    dp_step = make_dp_train_step(cfg, raster_config(cfg), mesh)
+    batch = collate(dataset[0])
+    opt_state = optim.init(params)
+    lrs = {k: jnp.float32(0.005) for k in params}
+    losses = []
+    for _ in range(5):
+        params, opt_state, variables, m = dp_step(
+            params, opt_state, variables, batch, lrs, True)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_pixel_sharded_render_matches(world):
+    scene, dataset, params, variables = world
+    mesh = make_mesh((8,), ("tile",))
+    cfg = RasterConfig(chunk=64, max_per_tile=256, max_tiles_per_gaussian=64,
+                       pairs_per_gaussian=16)
+    cam = dataset[0][0]["camera"]
+    act = G.activated(params, variables["alive"])
+    args = (cam, act["means3d"], act["colors"], act["opacity"],
+            act["scales"], act["rotations"])
+
+    plain = render(*args, config=cfg)
+    shard = NamedSharding(mesh, P("tile"))
+    fn = jax.jit(lambda *a: render(*a, config=cfg, tile_sharding=shard).rgb)
+    sharded_rgb = fn(*args)
+    np.testing.assert_allclose(np.asarray(sharded_rgb),
+                               np.asarray(plain.rgb), atol=1e-5)
