@@ -39,14 +39,14 @@ def main():
     f = 500.0
     cam = make_camera(w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c)
     cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128, max_per_tile=2048,
-                       max_tiles_per_gaussian=32, pairs_per_gaussian=8)
+                       max_tiles_per_gaussian=8, pairs_per_gaussian=4)
 
     args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
 
     @jax.jit
     def fwd(means3d, colors, opacity, scales, rotations):
         return render(cam, means3d, colors, opacity, scales, rotations,
-                      config=cfg).rgb
+                      config=cfg, method="pallas").rgb
 
     out = fwd(*args)
     out.block_until_ready()  # compile + warmup

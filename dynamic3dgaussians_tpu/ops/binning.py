@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -42,13 +43,24 @@ class TileBins(NamedTuple):
 def bin_gaussians(proj: Projected, tile_h: int, tile_w: int,
                   grid_h: int, grid_w: int,
                   pair_capacity: int,
-                  max_tiles_per_gaussian: int = 32) -> TileBins:
-    """Bin projected gaussians into per-tile, depth-sorted id lists."""
+                  max_tiles_per_gaussian: int = 16) -> TileBins:
+    """Bin projected gaussians into per-tile, depth-sorted id lists.
+
+    Pairs are emitted in global front-to-back order (gaussians pre-sorted by
+    view depth, N log N on N not on the pair count), so one *single-key*
+    stable sort by tile id finishes the job — the depth bits the CUDA
+    version packs into its 64-bit radix keys (rasterizer_impl.cu:102-104)
+    ride along for free in the emission order.
+    """
     num_tiles = grid_h * grid_w
     rect_min, rect_max, raw_count = tile_rect(proj, tile_h, tile_w,
                                               grid_h, grid_w)
     count = jnp.minimum(raw_count, max_tiles_per_gaussian)
     n_dropped_rect = jnp.sum(jnp.maximum(raw_count - max_tiles_per_gaussian, 0))
+
+    # front-to-back gaussian order (stable; invalid to the back)
+    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
+    rect_min, rect_max, count = rect_min[order], rect_max[order], count[order]
 
     offsets = jnp.cumsum(count) - count          # exclusive prefix sum
     num_pairs = offsets[-1] + count[-1]
@@ -65,20 +77,16 @@ def bin_gaussians(proj: Projected, tile_h: int, tile_w: int,
     pos = jnp.where(pair_ok & (pos < pair_capacity), pos, pair_capacity)
     n_dropped_capacity = jnp.maximum(num_pairs - pair_capacity, 0)
 
-    gid = jnp.broadcast_to(jnp.arange(proj.mean2d.shape[0], dtype=jnp.int32)
-                           [:, None], tile_id.shape)
-    depth = jnp.broadcast_to(proj.depth[:, None], tile_id.shape)
+    gid = jnp.broadcast_to(order.astype(jnp.int32)[:, None], tile_id.shape)
 
     flat_pos = pos.reshape(-1)
     buf_tile = jnp.full((pair_capacity,), num_tiles, jnp.int32).at[flat_pos]\
         .set(tile_id.reshape(-1).astype(jnp.int32), mode="drop")
-    buf_depth = jnp.full((pair_capacity,), jnp.inf, jnp.float32).at[flat_pos]\
-        .set(depth.reshape(-1).astype(jnp.float32), mode="drop")
     buf_gid = jnp.zeros((pair_capacity,), jnp.int32).at[flat_pos]\
         .set(gid.reshape(-1), mode="drop")
 
-    sorted_tile, _, sorted_gid = lax.sort(
-        (buf_tile, buf_depth, buf_gid), num_keys=2, is_stable=True)
+    sorted_tile, sorted_gid = lax.sort(
+        (buf_tile, buf_gid), num_keys=1, is_stable=True)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
@@ -91,3 +99,43 @@ def bin_gaussians(proj: Projected, tile_h: int, tile_w: int,
         n_dropped_capacity=n_dropped_capacity.astype(jnp.int32),
         n_dropped_rect=n_dropped_rect.astype(jnp.int32),
     )
+
+
+def aligned_pair_layout(bins: TileBins, chunk: int, max_per_tile: int,
+                        aligned_capacity: int):
+    """Re-lay the sorted pair list into chunk-aligned per-tile segments.
+
+    The Pallas kernel wants each tile's record list to start at a multiple of
+    `chunk` in HBM so its DMAs are aligned contiguous slices. Tile t occupies
+    slots [aligned_starts[t], aligned_starts[t] + n_chunks[t]*chunk); slack
+    slots map to gaussian 0 with valid=False (the caller zeroes opacity
+    there, so they composite as nothing).
+
+    Returns:
+      gid (aligned_capacity,) int32 — gaussian id per aligned slot,
+      valid (aligned_capacity,) bool,
+      aligned_starts (num_tiles,) int32,
+      n_chunks (num_tiles,) int32 — chunk count per tile (counts clamped to
+        max_per_tile; overflow is already reported by the caller).
+    """
+    counts = jnp.minimum(bins.tile_counts, max_per_tile)
+    n_chunks = -(-counts // chunk)
+    aligned_counts = n_chunks * chunk
+    aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
+        jnp.int32)
+
+    num_tiles = aligned_starts.shape[0]
+    # tile-of-slot via scatter-max + cumulative max (cheaper than a
+    # searchsorted over the whole aligned capacity); start-position ties
+    # (empty tiles) resolve to the highest tile index, whose j test is the
+    # meaningful one.
+    marks = jnp.zeros((aligned_capacity,), jnp.int32).at[aligned_starts].max(
+        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
+    tile_of = lax.cummax(marks)
+    slot = jnp.arange(aligned_capacity, dtype=jnp.int32)
+    j = slot - aligned_starts[tile_of]
+    valid = j < counts[tile_of]
+    src = bins.tile_starts[tile_of] + j
+    gid = bins.gaussian_ids[jnp.clip(src, 0, bins.gaussian_ids.shape[0] - 1)]
+    gid = jnp.where(valid, gid, 0)
+    return gid, valid, aligned_starts, n_chunks.astype(jnp.int32)

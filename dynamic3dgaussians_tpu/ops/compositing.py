@@ -83,7 +83,8 @@ def composite_chunk(T_in: jnp.ndarray, acc_in: jnp.ndarray,
     w = alpha * Tw_excl * T_in[None, :]
     acc_out = acc_in + jax.lax.dot_general(
         w, values, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     T_out = T_in * cp[-1]
     return T_out, acc_out
 

@@ -48,18 +48,37 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
                 scale_modifier: float = 1.0) -> jnp.ndarray:
     """3D covariance Sigma = R diag(s)^2 R^T, packed symmetric.
 
+    Fully expanded elementwise (no (N,3,3) batched matmuls — those pad each
+    tiny contraction onto the MXU and are ~100x slower than VPU arithmetic).
+
     Args:
       scales: (N, 3) positive scales (already exp-activated).
       rotations: (N, 4) unit wxyz quaternions (already normalized).
     Returns:
       (N, 6) packed [xx, xy, xz, yy, yz, zz]  (forward.cu:129-163 layout).
     """
-    R = quat_to_rotmat(rotations, normalized=True)
-    M = R * (scale_modifier * scales)[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)
-    return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]], axis=-1)
+    r, x, y, z = jnp.moveaxis(rotations, -1, 0)
+    # rotation-matrix components (standard form, external.py:61-78)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s2 = (scale_modifier * scales) ** 2
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+    # Sigma_ab = sum_k s_k^2 R_ak R_bk
+    return jnp.stack([
+        s0 * r00 * r00 + s1 * r01 * r01 + s2_ * r02 * r02,
+        s0 * r00 * r10 + s1 * r01 * r11 + s2_ * r02 * r12,
+        s0 * r00 * r20 + s1 * r01 * r21 + s2_ * r02 * r22,
+        s0 * r10 * r10 + s1 * r11 * r11 + s2_ * r12 * r12,
+        s0 * r10 * r20 + s1 * r11 * r21 + s2_ * r12 * r22,
+        s0 * r20 * r20 + s1 * r21 * r21 + s2_ * r22 * r22,
+    ], axis=-1)
 
 
 def _ewa_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: Camera):
@@ -67,10 +86,13 @@ def _ewa_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: Camera):
 
     Returns (N, 3) packed [xx, xy, yy] with the +0.3 low-pass on the diagonal.
     """
-    t = means3d @ cam.w2c[:3, :3].T + cam.w2c[:3, 3]
-    tz = t[..., 2]
-    txtz = t[..., 0] / tz
-    tytz = t[..., 1] / tz
+    V = cam.w2c
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    tx0 = V[0, 0] * mx + V[0, 1] * my + V[0, 2] * mz + V[0, 3]
+    ty0 = V[1, 0] * mx + V[1, 1] * my + V[1, 2] * mz + V[1, 3]
+    tz = V[2, 0] * mx + V[2, 1] * my + V[2, 2] * mz + V[2, 3]
+    txtz = tx0 / tz
+    tytz = ty0 / tz
     # The fork's principal-point-aware limits (forward.cu:86-99); the later
     # clamp overwrites the symmetric 1.3*tanfov one, so only it applies.
     lim_x_pos = (cam.width - cam.cx) / cam.fx + 0.3 * cam.tan_fovx
@@ -80,20 +102,31 @@ def _ewa_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: Camera):
     tx = jnp.clip(txtz, -lim_x_neg, lim_x_pos) * tz
     ty = jnp.clip(tytz, -lim_y_neg, lim_y_pos) * tz
 
-    # J rows: d(pix)/d(view); W = rotation block of w2c. T = J @ W, (N, 2, 3).
+    # T = J @ W with J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
+    # and W the rotation block of w2c — expanded elementwise (each T row is
+    # a linear combination of two constant W rows; no batched matmuls).
     fx, fy = cam.fx, cam.fy
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx / tz, zeros, -fx * tx / (tz * tz)], axis=-1),
-        jnp.stack([zeros, fy / tz, -fy * ty / (tz * tz)], axis=-1),
-    ], axis=-2)
-    T = J @ cam.w2c[:3, :3]
+    W = cam.w2c[:3, :3]
+    a0 = (fx / tz)[..., None]                    # (N, 1)
+    a2 = (-fx * tx / (tz * tz))[..., None]
+    b1 = (fy / tz)[..., None]
+    b2 = (-fy * ty / (tz * tz))[..., None]
+    t0 = a0 * W[0] + a2 * W[2]                   # (N, 3) row 0 of T
+    t1 = b1 * W[1] + b2 * W[2]                   # (N, 3) row 1 of T
 
-    V = unpack_sym3(cov3d)                       # (N, 3, 3)
-    cov2d = T @ V @ jnp.swapaxes(T, -1, -2)      # (N, 2, 2)
-    return jnp.stack([cov2d[..., 0, 0] + COV2D_BLUR,
-                      cov2d[..., 0, 1],
-                      cov2d[..., 1, 1] + COV2D_BLUR], axis=-1)
+    # cov2d entries are quadratic forms u^T V v with packed symmetric V
+    vxx, vxy, vxz, vyy, vyz, vzz = jnp.moveaxis(cov3d, -1, 0)
+
+    def quad(u, v):
+        return (u[..., 0] * v[..., 0] * vxx + u[..., 1] * v[..., 1] * vyy
+                + u[..., 2] * v[..., 2] * vzz
+                + (u[..., 0] * v[..., 1] + u[..., 1] * v[..., 0]) * vxy
+                + (u[..., 0] * v[..., 2] + u[..., 2] * v[..., 0]) * vxz
+                + (u[..., 1] * v[..., 2] + u[..., 2] * v[..., 1]) * vyz)
+
+    return jnp.stack([quad(t0, t0) + COV2D_BLUR,
+                      quad(t0, t1),
+                      quad(t1, t1) + COV2D_BLUR], axis=-1)
 
 
 def unpack_sym3(packed: jnp.ndarray) -> jnp.ndarray:
@@ -138,16 +171,20 @@ def project(means3d: jnp.ndarray,
       view z <= 0; we cull at z <= near for numerical safety), zero-determinant
       cull and zero-extent cull.
     """
-    p_hom = means3d @ cam.full_proj[:3, :3].T + cam.full_proj[:3, 3]
-    p_w_hom = means3d @ cam.full_proj[3, :3] + cam.full_proj[3, 3]
+    M = cam.full_proj
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    px_hom = M[0, 0] * mx + M[0, 1] * my + M[0, 2] * mz + M[0, 3]
+    py_hom = M[1, 0] * mx + M[1, 1] * my + M[1, 2] * mz + M[1, 3]
+    p_w_hom = M[3, 0] * mx + M[3, 1] * my + M[3, 2] * mz + M[3, 3]
     inv_w = 1.0 / (p_w_hom + 1e-7)
-    ndc_xy = p_hom[..., :2] * inv_w[..., None]
+    ndc_xy = jnp.stack([px_hom, py_hom], axis=-1) * inv_w[..., None]
     if mean2d_probe_ndc is not None:
         ndc_xy = ndc_xy + mean2d_probe_ndc
     mean2d = jnp.stack([ndc2pix(ndc_xy[..., 0], cam.width),
                         ndc2pix(ndc_xy[..., 1], cam.height)], axis=-1)
 
-    depth = means3d @ cam.w2c[2, :3] + cam.w2c[2, 3]
+    V = cam.w2c
+    depth = V[2, 0] * mx + V[2, 1] * my + V[2, 2] * mz + V[2, 3]
     in_front = depth > cam.near
 
     cov3d = cov3d_precomp if cov3d_precomp is not None else build_cov3d(

@@ -26,14 +26,16 @@ overflow is counted in `stats`, never silent.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dynamic3dgaussians_tpu.ops import compositing
-from dynamic3dgaussians_tpu.ops.binning import bin_gaussians
+from dynamic3dgaussians_tpu.ops.binning import aligned_pair_layout, bin_gaussians
 from dynamic3dgaussians_tpu.ops.camera import Camera
 from dynamic3dgaussians_tpu.ops.projection import Projected, project
 from dynamic3dgaussians_tpu.ops.rasterize_ref import render_primitives_reference
@@ -85,41 +87,57 @@ def _grad_gate(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return x * m + jax.lax.stop_gradient(x * (1.0 - m))
 
 
-def _composite_tiles(cam: Camera, proj: Projected, colors: jnp.ndarray,
-                     opacity: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
-                     tile_sharding=None):
-    """Tile-binned compositing over the whole image (the hot path).
+def _untile(x, grid_h, grid_w, th, tw, h, w, c):
+    img = x.reshape(grid_h, grid_w, th, tw, c).transpose(0, 2, 1, 3, 4)
+    return img.reshape(grid_h * th, grid_w * tw, c)[:h, :w]
+
+
+def _record_table(proj: Projected, colors, opacity):
+    """Pack all per-gaussian render fields into ONE (N, F) table.
+
+    TPU gathers cost ~rows/8 cycles regardless of row width, so one wide
+    row-gather beats a dozen per-field gathers by >10x. Layout:
+      [0:2] mean2d, [2:5] conic, [5] opacity (zeroed for culled gaussians),
+      [6:6+C] channels, [6+C] view depth, [7+C] ones — padded to 8 lanes.
+    """
+    op = jnp.where(proj.valid, opacity, 0.0)
+    cols = [proj.mean2d, proj.conic, op[:, None], colors,
+            proj.depth[:, None], jnp.ones_like(op)[:, None]]
+    table = jnp.concatenate(cols, axis=-1)
+    pad = (-table.shape[-1]) % 8
+    if pad:
+        table = jnp.pad(table, ((0, 0), (0, pad)))
+    return table
+
+
+def _gather_and_composite(h: int, w: int, proj: Projected, colors, opacity,
+                          bg, cfg: RasterConfig, bins, tile_sharding=None):
+    """XLA tile compositing given precomputed bins -> (channels, depth, alpha).
 
     tile_sharding: optional jax.sharding.NamedSharding striping the tile axis
     across devices (pixel/tile sharding, SURVEY.md §7 step 9 stage B) —
     projection/binning stay replicated, the heavy per-tile compositing is
     constraint-sharded and XLA inserts the gather of the final image.
     """
-    h, w = cam.height, cam.width
     th, tw = cfg.tile_h, cfg.tile_w
     grid_h, grid_w = -(-h // th), -(-w // tw)
-    n = proj.mean2d.shape[0]
     n_chan = colors.shape[-1]
-
-    bins = bin_gaussians(proj, th, tw, grid_h, grid_w,
-                         pair_capacity=cfg.pair_capacity(n),
-                         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
 
     mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
     num_tiles = grid_h * grid_w
     slot = jnp.arange(mt, dtype=jnp.int32)
     idx = bins.tile_starts[:, None] + slot[None, :]               # (T, MT)
     in_list = slot[None, :] < jnp.minimum(bins.tile_counts, mt)[:, None]
-    n_tile_overflow = jnp.sum(jnp.maximum(bins.tile_counts - mt, 0))
     ids = bins.gaussian_ids[jnp.clip(idx, 0, bins.gaussian_ids.shape[0] - 1)]
     if tile_sharding is not None:
         ids = jax.lax.with_sharding_constraint(ids, tile_sharding)
 
-    g_mean2d = proj.mean2d[ids]                                   # (T, MT, 2)
-    g_conic = proj.conic[ids]
-    g_op = jnp.where(in_list, opacity[ids], 0.0)
-    g_vals = compositing.pack_values(colors, proj.depth)[ids]     # (T, MT, C+2)
-    g_valid = in_list & proj.valid[ids]
+    rec = _record_table(proj, colors, opacity)[ids]               # (T, MT, F)
+    g_mean2d = rec[..., 0:2]
+    g_conic = rec[..., 2:5]
+    g_op = jnp.where(in_list, rec[..., 5], 0.0)
+    g_vals = rec[..., 6:6 + n_chan + 2]                           # (T, MT, C+2)
+    g_valid = in_list
 
     # Tile-local pixel coordinates (row-major within the tile).
     ty = jnp.arange(num_tiles, dtype=jnp.int32) // grid_w
@@ -151,14 +169,109 @@ def _composite_tiles(cam: Camera, proj: Projected, colors: jnp.ndarray,
     channels, depth_img, alpha_img = jax.vmap(
         lambda t, a: compositing.finalize(t, a, bg))(T, acc)
 
-    def untile(x, c):
-        img = x.reshape(grid_h, grid_w, th, tw, c).transpose(0, 2, 1, 3, 4)
-        return img.reshape(grid_h * th, grid_w * tw, c)[:h, :w]
+    return (_untile(channels, grid_h, grid_w, th, tw, h, w, n_chan),
+            _untile(depth_img[..., None], grid_h, grid_w, th, tw, h, w,
+                    1)[..., 0],
+            _untile(alpha_img[..., None], grid_h, grid_w, th, tw, h, w,
+                    1)[..., 0])
+
+
+def _aligned_capacity(cfg: RasterConfig, n: int, num_tiles: int) -> int:
+    cap = cfg.pair_capacity(n) + num_tiles * cfg.chunk
+    return -(-cap // 1024) * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_core(h: int, w: int, cfg: RasterConfig, proj: Projected,
+                 colors, opacity, bg, bins):
+    """Pallas forward / XLA-autodiff backward compositing core."""
+    from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
+        GEOM_ROWS, pallas_composite_tiles)
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    grid_h, grid_w = -(-h // th), -(-w // tw)
+    num_tiles = grid_h * grid_w
+    n = proj.mean2d.shape[0]
+    n_chan = colors.shape[-1]
+    mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
+    acap = _aligned_capacity(cfg, n, num_tiles)
+
+    gid, valid, astarts, nchunks = aligned_pair_layout(bins, cfg.chunk, mt,
+                                                       acap)
+    # one wide row-gather then one transpose (both ~free vs per-field gathers)
+    rec_t = _record_table(proj, colors, opacity)[gid].T           # (F, ACAP)
+    zeros = jnp.zeros((1, acap), jnp.float32)
+    op = jnp.where(valid[None, :], rec_t[5:6], 0.0)
+    # feature-major layout: rows = record fields, lanes = aligned pair slots
+    geom_t = jnp.concatenate([rec_t[0:5], op, zeros, zeros], axis=0)
+    assert geom_t.shape[0] == GEOM_ROWS
+    cv = n_chan + 2
+    vals_t = rec_t[6:6 + cv]
+    cv_pad = (-cv) % 8
+    if cv_pad:
+        vals_t = jnp.concatenate(
+            [vals_t, jnp.zeros((cv_pad, acap), jnp.float32)], axis=0)
+
+    raw = pallas_composite_tiles(geom_t, vals_t, astarts, nchunks,
+                                 num_tiles=num_tiles, grid_w=grid_w,
+                                 tile_h=th, tile_w=tw, chunk=cfg.chunk)
+    acc = raw[..., :n_chan + 2]
+    alpha_img = acc[..., n_chan + 1]
+    depth_img = acc[..., n_chan]
+    channels = acc[..., :n_chan] + (1.0 - alpha_img[..., None]) * bg
+    return (_untile(channels, grid_h, grid_w, th, tw, h, w, n_chan),
+            _untile(depth_img[..., None], grid_h, grid_w, th, tw, h, w,
+                    1)[..., 0],
+            _untile(alpha_img[..., None], grid_h, grid_w, th, tw, h, w,
+                    1)[..., 0])
+
+
+def _pallas_core_fwd(h, w, cfg, proj, colors, opacity, bg, bins):
+    out = _pallas_core(h, w, cfg, proj, colors, opacity, bg, bins)
+    return out, (proj, colors, opacity, bg, bins)
+
+
+def _pallas_core_bwd(h, w, cfg, res, cts):
+    proj, colors, opacity, bg, bins = res
+    _, vjp = jax.vjp(
+        lambda p, c, o, b: _gather_and_composite(h, w, p, c, o, b, cfg, bins),
+        proj, colors, opacity, bg)
+    d_proj, d_colors, d_opacity, d_bg = vjp(cts)
+    d_bins = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), bins)
+    return d_proj, d_colors, d_opacity, d_bg, d_bins
+
+
+_pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
+
+
+def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
+                     cfg: RasterConfig, tile_sharding=None,
+                     use_pallas: bool = False):
+    """Tile-binned compositing over the whole image (the hot path)."""
+    h, w = cam.height, cam.width
+    th, tw = cfg.tile_h, cfg.tile_w
+    grid_h, grid_w = -(-h // th), -(-w // tw)
+    n = proj.mean2d.shape[0]
+    mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
+
+    bins = bin_gaussians(proj, th, tw, grid_h, grid_w,
+                         pair_capacity=cfg.pair_capacity(n),
+                         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
+    n_tile_overflow = jnp.sum(jnp.maximum(bins.tile_counts - mt, 0))
+
+    if use_pallas:
+        channels, depth_img, alpha_img = _pallas_core(
+            h, w, cfg, proj, colors, opacity, bg, bins)
+    else:
+        channels, depth_img, alpha_img = _gather_and_composite(
+            h, w, proj, colors, opacity, bg, cfg, bins,
+            tile_sharding=tile_sharding)
 
     return {
-        "channels": untile(channels, n_chan),
-        "depth": untile(depth_img[..., None], 1)[..., 0],
-        "alpha": untile(alpha_img[..., None], 1)[..., 0],
+        "channels": channels,
+        "depth": depth_img,
+        "alpha": alpha_img,
         "n_dropped_capacity": bins.n_dropped_capacity,
         "n_dropped_rect": bins.n_dropped_rect,
         "n_dropped_tile_overflow": n_tile_overflow.astype(jnp.int32),
@@ -243,6 +356,9 @@ def render(cam: Camera,
     elif method == "tiled":
         out = _composite_tiles(cam, proj, all_chan, opacity, full_bg, cfg,
                                tile_sharding=tile_sharding)
+    elif method == "pallas":
+        out = _composite_tiles(cam, proj, all_chan, opacity, full_bg, cfg,
+                               use_pallas=True)
     else:
         raise ValueError(f"unknown render method: {method}")
 

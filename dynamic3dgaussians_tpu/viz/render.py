@@ -1,0 +1,116 @@
+"""Offline visualization renders: orbits, depth colormaps, trajectories.
+
+Capability parity with the reference's visualizer family (SURVEY.md P11/P12):
+  * load stacked params.npz -> per-timestep render inputs
+    (visualize_org.py:46-65 load_scene_data)
+  * orbiting camera path (visualize_org.py:36-43) / slerp interpolation
+  * batch novel-view renders to uint8 frames (visualize.py:238-377)
+  * depth colormapping (visualize.py:34-40)
+  * foreground trajectory "tails" (visualize_org.py:81-88) returned as line
+    segments for any plotting backend (no Open3D dependency here).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic3dgaussians_tpu.models.gaussians import activated
+from dynamic3dgaussians_tpu.ops.camera import Camera, orbit_cameras
+from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+
+
+def params_at_t(stacked: Dict[str, np.ndarray], t: int) -> Dict[str, np.ndarray]:
+    """Slice a stacked params.npz dict at timestep t (stacked keys have a
+    leading T axis; t0-only keys are shared)."""
+    out = {}
+    n_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
+    for k, v in stacked.items():
+        if v.ndim >= 2 and v.shape[0] == n_t and stacked["means3D"].ndim == 3:
+            out[k] = v[t]
+        else:
+            out[k] = v
+    return out
+
+
+def render_frame(params_t: Dict[str, np.ndarray], cam: Camera,
+                 config: Optional[RasterConfig] = None,
+                 bg: Optional[np.ndarray] = None,
+                 method: str = "tiled"):
+    """Render one checkpointed timestep through the canonical API."""
+    p = {k: jnp.asarray(v) for k, v in params_t.items()}
+    act = activated(p)
+    extra = p.get("seg_colors")
+    return render(cam, act["means3d"], act["colors"], act["opacity"],
+                  act["scales"], act["rotations"], extra_channels=extra,
+                  bg=None if bg is None else jnp.asarray(bg),
+                  config=config, method=method)
+
+
+def to_uint8(img) -> np.ndarray:
+    return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def colormap_depth(depth, alpha=None, near_clip: float = 1e-6) -> np.ndarray:
+    """Turbo-free depth colormap: normalized inverse depth -> viridis-ish RGB
+    via a fixed polynomial (no matplotlib dependency)."""
+    d = np.asarray(depth, np.float64)
+    a = np.ones_like(d) if alpha is None else np.asarray(alpha)
+    valid = a > 0.5
+    dn = d / np.maximum(a, near_clip)  # un-premultiply sum z*alpha*T
+    if valid.any():
+        lo, hi = np.percentile(dn[valid], [2, 98])
+    else:
+        lo, hi = 0.0, 1.0
+    x = np.clip((dn - lo) / max(hi - lo, 1e-9), 0, 1)
+    r = np.clip(1.5 - np.abs(2.0 * x - 1.5), 0, 1)
+    g = np.clip(1.5 - np.abs(2.0 * x - 1.0), 0, 1)
+    b = np.clip(1.5 - np.abs(2.0 * x - 0.5), 0, 1)
+    rgb = np.stack([r, g, b], -1)
+    rgb[~valid] = 0
+    return (rgb * 255).astype(np.uint8)
+
+
+def orbit_render(stacked: Dict[str, np.ndarray], n_frames: int = 60,
+                 w: int = 640, h: int = 360, f: float = 500.0,
+                 radius: float = 4.0, height: float = -1.0,
+                 timestep_per_frame: bool = True,
+                 config: Optional[RasterConfig] = None) -> List[np.ndarray]:
+    """360-degree orbit of the scene; cycles timesteps if available
+    (visualize.py:238-377 style). Returns uint8 RGB frames."""
+    num_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
+    center = np.asarray(stacked["means3D"]).reshape(-1, 3).mean(0)
+    cams = orbit_cameras(center, radius, height, n_frames, w, h, f)
+    frames = []
+    for i, cam in enumerate(cams):
+        t = (i % num_t) if timestep_per_frame else 0
+        out = render_frame(params_at_t(stacked, t), cam, config=config)
+        frames.append(to_uint8(out.rgb))
+    return frames
+
+
+def save_gif(frames: List[np.ndarray], path: str, fps: int = 20) -> str:
+    from PIL import Image
+    ims = [Image.fromarray(f) for f in frames]
+    ims[0].save(path, save_all=True, append_images=ims[1:],
+                duration=int(1000 / fps), loop=0)
+    return path
+
+
+def trajectory_lines(stacked: Dict[str, np.ndarray], t: int,
+                     traj_length: int = 15, stride: int = 25,
+                     fg_thresh: float = 0.5):
+    """Foreground trajectory tails as (S, 2, 3) line segments
+    (visualize_org.py:81-88: every `stride`-th fg point, last `traj_length`
+    timesteps)."""
+    means = np.asarray(stacked["means3D"])         # (T, N, 3)
+    seg = np.asarray(stacked["seg_colors"])
+    is_fg = seg[..., 0] > fg_thresh if seg.ndim == 2 else seg[0, :, 0] > fg_thresh
+    pts = means[:, is_fg][:, ::stride]             # (T, S, 3)
+    t0 = max(0, t - traj_length)
+    segs = []
+    for a in range(t0, t):
+        segs.append(np.stack([pts[a], pts[a + 1]], axis=1))
+    return np.concatenate(segs, axis=0) if segs else np.zeros((0, 2, 3))
