@@ -1,0 +1,189 @@
+"""Command-line entry points: train / visualize / evaluate.
+
+The reference ships each trainer as a standalone script with
+`train(seq, exp)` + argparse (SURVEY.md §2.3); here one CLI covers the
+canonical flows and writes outputs in the reference's
+./output/{exp}/{seq}/params.npz layout so its downstream tooling works.
+
+  python -m dynamic3dgaussians_tpu.cli train --data_root data --seq cmu_bike \
+      --exp exp1 [--synthetic] [--resume]
+  python -m dynamic3dgaussians_tpu.cli visualize --params output/exp1/seq/params.npz
+  python -m dynamic3dgaussians_tpu.cli evaluate --params ... --data_root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_train_cfg_args(p: argparse.ArgumentParser):
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--iters_first", type=int, default=None)
+    p.add_argument("--iters_per_t", type=int, default=None)
+    p.add_argument("--capacity", type=int, default=None)
+    p.add_argument("--config_json", type=str, default=None,
+                   help="TrainConfig overrides as a JSON file")
+
+
+def _build_cfg(args):
+    from dynamic3dgaussians_tpu.train.config import TrainConfig
+    cfg = TrainConfig()
+    if args.config_json:
+        with open(args.config_json) as f:
+            cfg = TrainConfig.from_json(f.read())
+    if args.timesteps is not None:
+        cfg.num_timesteps = args.timesteps
+    if args.iters_first is not None:
+        cfg.iters_first_timestep = args.iters_first
+    if args.iters_per_t is not None:
+        cfg.iters_per_timestep = args.iters_per_t
+    if args.capacity is not None:
+        cfg.capacity = args.capacity
+    return cfg
+
+
+def cmd_train(args):
+    from dynamic3dgaussians_tpu.train.trainer import train
+    from dynamic3dgaussians_tpu.utils.logging import RunLogger, safe_state
+    from dynamic3dgaussians_tpu.viz.export import save_params
+
+    cfg = _build_cfg(args)
+    safe_state(cfg.seed)
+    out_dir = os.path.join(args.output, args.exp, args.seq)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    if args.synthetic:
+        from dynamic3dgaussians_tpu.data import synthetic
+        scene = synthetic.make_gt_scene()
+        dataset, w2c, _ = synthetic.make_dataset(scene, cfg.num_timesteps,
+                                                 num_cams=args.num_cams)
+        pt_cld = synthetic.init_point_cloud(scene)
+    else:
+        from dynamic3dgaussians_tpu.data import dataset as D
+        md = D.load_meta(args.data_root, args.seq)
+        cfg.num_timesteps = min(cfg.num_timesteps, len(md["fn"]))
+        dataset = [D.load_timestep(args.data_root, args.seq, md, t,
+                                   load_depth=args.load_depth)
+                   for t in range(cfg.num_timesteps)]
+        pt_cld = D.load_init_point_cloud(args.data_root, args.seq)
+        w2c = D.scene_w2c_stack(md)
+
+    logger = RunLogger(out_dir, use_wandb=args.wandb)
+
+    def on_step(t, i, metrics):
+        logger.log(i, {k: float(v) for k, v in metrics.items()},
+                   prefix=f"t{t}/")
+        if i % (cfg.report_every * 5) == 0:
+            print(f"t={t} i={i} loss={float(metrics['loss']):.4f} "
+                  f"psnr={float(metrics['psnr']):.2f}", flush=True)
+
+    output_params, params, variables = train(
+        dataset, cfg, pt_cld, w2c,
+        callbacks={"on_step": on_step},
+        checkpoint_dir=os.path.join(out_dir, "ckpt")
+        if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume)
+    path = save_params(output_params, out_dir)
+    print(f"saved {path}")
+    logger.close()
+
+
+def cmd_visualize(args):
+    from dynamic3dgaussians_tpu.viz.export import load_params
+    from dynamic3dgaussians_tpu.viz.render import orbit_render, save_gif
+
+    stacked = load_params(args.params)
+    frames = orbit_render(stacked, n_frames=args.frames, w=args.width,
+                          h=args.height, f=args.focal, radius=args.radius)
+    out = args.out or (os.path.splitext(args.params)[0] + "_orbit.gif")
+    save_gif(frames, out, fps=args.fps)
+    print(f"saved {out}")
+
+
+def cmd_evaluate(args):
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.data import dataset as D
+    from dynamic3dgaussians_tpu.eval import metrics as M
+    from dynamic3dgaussians_tpu.viz.export import load_params
+    from dynamic3dgaussians_tpu.viz.render import params_at_t, render_frame
+
+    stacked = load_params(args.params)
+    md = D.load_meta(args.data_root, args.seq)
+    num_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
+    rows = []
+    for t in range(min(num_t, args.max_timesteps)):
+        frames = D.load_timestep(args.data_root, args.seq, md, t)
+        for f in frames[:args.max_cams]:
+            out = render_frame(params_at_t(stacked, t), f["camera"])
+            rows.append({
+                "t": t, "cam": int(f["cam_id"]),
+                "psnr": float(M.masked_psnr(jnp.clip(out.rgb, 0, 1),
+                                            f["im"])),
+                "ssim": float(M.masked_ssim(jnp.clip(out.rgb, 0, 1),
+                                            f["im"])),
+            })
+    mean_psnr = float(np.mean([r["psnr"] for r in rows]))
+    mean_ssim = float(np.mean([r["ssim"] for r in rows]))
+    print(json.dumps({"psnr": mean_psnr, "ssim": mean_ssim,
+                      "n_views": len(rows)}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"mean_psnr": mean_psnr, "mean_ssim": mean_ssim,
+                       "rows": rows}, f, indent=2)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dynamic3dgaussians_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="dynamic per-timestep optimization")
+    p.add_argument("--data_root", type=str, default="./data_ego")
+    p.add_argument("--seq", type=str, default="synthetic")
+    p.add_argument("--exp", type=str, default="exp")
+    p.add_argument("--output", type=str, default="./output")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the built-in synthetic scene")
+    p.add_argument("--num_cams", type=int, default=6)
+    p.add_argument("--load_depth", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    _add_train_cfg_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("visualize", help="orbit-render a params.npz to GIF")
+    p.add_argument("--params", type=str, required=True)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--focal", type=float, default=500.0)
+    p.add_argument("--radius", type=float, default=4.0)
+    p.add_argument("--fps", type=int, default=20)
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("evaluate", help="PSNR/SSIM vs dataset images")
+    p.add_argument("--params", type=str, required=True)
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--seq", type=str, required=True)
+    p.add_argument("--max_timesteps", type=int, default=10)
+    p.add_argument("--max_cams", type=int, default=4)
+    p.add_argument("--out", type=str, default=None)
+    p.set_defaults(fn=cmd_evaluate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

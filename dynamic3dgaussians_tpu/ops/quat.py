@@ -88,3 +88,41 @@ def cont_6d_to_rotmat(d6: jnp.ndarray) -> jnp.ndarray:
 def rotmat_to_cont_6d(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse of cont_6d_to_rotmat: take the first two columns."""
     return jnp.concatenate([R[..., :, 0], R[..., :, 1]], axis=-1)
+
+
+def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation matrix -> (..., 4) wxyz unit quaternion.
+
+    Branch-free (jnp.where over the four Shepperd cases) so it vmaps/jits.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    # candidate quaternions from each diagonal-dominance case
+    tw = 1.0 + m00 + m11 + m22
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+    sw = safe_sqrt(tw) * 2
+    sx = safe_sqrt(tx) * 2
+    sy = safe_sqrt(ty) * 2
+    sz = safe_sqrt(tz) * 2
+    qw = jnp.stack([0.25 * sw, (m21 - m12) / sw,
+                    (m02 - m20) / sw, (m10 - m01) / sw], axis=-1)
+    qx = jnp.stack([(m21 - m12) / sx, 0.25 * sx,
+                    (m01 + m10) / sx, (m02 + m20) / sx], axis=-1)
+    qy = jnp.stack([(m02 - m20) / sy, (m01 + m10) / sy,
+                    0.25 * sy, (m12 + m21) / sy], axis=-1)
+    qz = jnp.stack([(m10 - m01) / sz, (m02 + m20) / sz,
+                    (m12 + m21) / sz, 0.25 * sz], axis=-1)
+
+    cases = jnp.stack([tw, tx, ty, tz], axis=-1)
+    best = jnp.argmax(cases, axis=-1)[..., None]
+    q = jnp.where(best == 0, qw,
+                  jnp.where(best == 1, qx,
+                            jnp.where(best == 2, qy, qz)))
+    return normalize(q)

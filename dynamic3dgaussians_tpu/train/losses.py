@@ -25,6 +25,8 @@ from dynamic3dgaussians_tpu.ops.ssim import calc_ssim
 DEFAULT_LOSS_WEIGHTS: Dict[str, float] = {
     "im": 5.0, "seg": 2.0, "depth": 0.0, "rigid": 4.0, "rot": 4.0,
     "iso": 2.0, "floor": 2.0, "bg": 20.0, "soft_col_cons": 0.01,
+    # feature-field supervision weight (sanity_feature.py:507-508)
+    "feature": 0.1,
 }
 
 

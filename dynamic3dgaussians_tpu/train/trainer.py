@@ -61,18 +61,34 @@ def compute_loss(params: Dict, probe: jnp.ndarray, batch: Dict,
     """
     alive = variables["alive"]
     act = G.activated(params, alive)
+    # RGB + seg (+ semantic features) composite in ONE pass; the reference
+    # pays a second full render for seg (README.md:88-89) and a third config
+    # for the 32-ch feature field (dyn_train.py:244).
+    extra = params["seg_colors"]
+    has_feat = "gt_feature" in batch and "semantic_feature" in params
+    if has_feat:
+        extra = jnp.concatenate([extra, params["semantic_feature"]], axis=-1)
     out = render(batch["camera"], act["means3d"], act["colors"],
                  act["opacity"], act["scales"], act["rotations"],
-                 extra_channels=params["seg_colors"],
+                 extra_channels=extra,
                  mean2d_probe_ndc=probe, config=rcfg)
 
     cam_id = batch["cam_id"]
     im = L.apply_cam_correction(out.rgb, params["cam_m"][cam_id],
                                 params["cam_c"][cam_id])
     losses = {"im": L.image_loss(im, batch["im"]),
-              "seg": L.image_loss(out.extra, batch["seg"])}
+              "seg": L.image_loss(out.extra[..., :3], batch["seg"])}
     if "gt_depth" in batch:
         losses["depth"] = L.depth_pearson_loss(out.depth, batch["gt_depth"])
+    if has_feat:
+        # feature-field loss: bilinear-resize the rendered map to the GT
+        # feature map and 0.8*L1 + 0.2*DSSIM (sanity_feature.py:442,487)
+        feat = out.extra[..., 3:]
+        gt_feat = batch["gt_feature"]
+        if feat.shape[:2] != gt_feat.shape[:2]:
+            feat = jax.image.resize(feat, gt_feat.shape[:2]
+                                    + feat.shape[2:], "bilinear")
+        losses["feature"] = L.image_loss(feat, gt_feat)
     if not is_initial:
         is_fg = params["seg_colors"][:, 0] > 0.5
         losses.update(L.physics_losses(
@@ -199,7 +215,10 @@ def params_to_cpu(params: Dict, variables: Dict, is_initial: bool) -> Dict:
 
 def train(dataset: List[List[Dict]], cfg: TrainConfig,
           pt_cld: np.ndarray, w2c_stack: np.ndarray,
-          callbacks: Optional[Dict] = None):
+          callbacks: Optional[Dict] = None,
+          checkpoint_dir: Optional[str] = None,
+          checkpoint_every: int = 0,
+          resume: bool = False):
     """Full dynamic-sequence optimization.
 
     Args:
@@ -208,6 +227,9 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
       cfg: TrainConfig.
       pt_cld: (N, 7) initial point cloud [xyz, rgb, seg].
       w2c_stack: (C, 4, 4) t=0 camera extrinsics (scene radius estimate).
+      checkpoint_dir/checkpoint_every: orbax full-state checkpoints every K
+        iterations (0 = off); `resume` restarts from the latest one
+        (crash-recovery; SURVEY.md §5.3/§5.4).
 
     Returns:
       (output_params, params, variables): the stacked per-timestep host
@@ -226,6 +248,17 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
     train_step = make_train_step(cfg, rcfg)
     densify_jit = jax.jit(densify_mod.densify)
 
+    ckpt_mgr = None
+    resume_t, resume_i, global_step = -1, -1, 0
+    if checkpoint_dir:
+        from dynamic3dgaussians_tpu.train.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = ckpt_mgr.load()
+            if restored is not None:
+                global_step, params, opt_state, variables, cursor = restored
+                resume_t, resume_i = cursor["t"], cursor["i"]
+
     def lr_tree(frozen: bool):
         lrs = {}
         for k in params:
@@ -241,20 +274,29 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
     for t in range(cfg.num_timesteps):
         is_initial = t == 0
         data_t = dataset[t]
-        if not is_initial:
+        if t < resume_t:
+            continue  # resumed past this timestep (output_params of skipped
+            # timesteps must be rebuilt from the npz checkpoint by the caller)
+        if not is_initial and t != resume_t:
             params, variables, opt_state = initialize_per_timestep(
                 params, variables, opt_state)
         num_iters = (cfg.iters_first_timestep if is_initial
                      else cfg.iters_per_timestep)
         lrs = lr_tree(frozen=not is_initial)
         todo: List[int] = []
-        for i in range(num_iters):
+        start_i = resume_i + 1 if t == resume_t else 0
+        for i in range(start_i, num_iters):
             # random camera without replacement (reference get_batch)
             if not todo:
                 todo = list(rng.permutation(len(data_t)))
             batch = data_t[todo.pop()]
             params, opt_state, variables, metrics = train_step(
                 params, opt_state, variables, batch, lrs, is_initial)
+            global_step += 1
+            if ckpt_mgr and checkpoint_every and \
+                    global_step % checkpoint_every == 0:
+                ckpt_mgr.save(global_step, params, opt_state, variables,
+                              {"t": t, "i": i})
             if is_initial and i <= cfg.densify_end:
                 if i >= cfg.densify_start and i % cfg.densify_every == 0:
                     key, sub = jax.random.split(key)
@@ -281,4 +323,8 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
         output_params.append(params_to_cpu(params, variables, is_initial))
         if "on_timestep" in callbacks:
             callbacks["on_timestep"](t, params, variables)
+    if ckpt_mgr:
+        ckpt_mgr.save(global_step + 1, params, opt_state, variables,
+                      {"t": cfg.num_timesteps - 1, "i": num_iters}, wait=True)
+        ckpt_mgr.close()
     return output_params, params, variables

@@ -1,0 +1,101 @@
+"""Motion-basis trainer + feature-field supervision + utils tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic3dgaussians_tpu.data import synthetic
+from dynamic3dgaussians_tpu.ops import quat
+from dynamic3dgaussians_tpu.train.config import RasterSettings, TrainConfig
+from dynamic3dgaussians_tpu.train.motion_trainer import train_motion
+from dynamic3dgaussians_tpu.train.trainer import train
+from dynamic3dgaussians_tpu.utils import image_utils as IU
+
+RS = RasterSettings(chunk=64, max_per_tile=256, max_tiles_per_gaussian=64,
+                    pairs_per_gaussian=16)
+
+
+def test_rotmat_to_quat_roundtrip():
+    rng = np.random.RandomState(0)
+    q = quat.normalize(jnp.asarray(rng.normal(size=(64, 4)), jnp.float32))
+    R = quat.quat_to_rotmat(q)
+    q2 = quat.rotmat_to_quat(R)
+    # q and -q are the same rotation
+    sign = jnp.sign(jnp.sum(q * q2, axis=-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(q2 * sign), np.asarray(q),
+                               atol=1e-4)
+
+
+def test_motion_trainer_improves():
+    scene = synthetic.make_gt_scene(n_fg=40, n_bg=60, seed=1)
+    dataset, w2c, _ = synthetic.make_dataset(scene, num_t=3, num_cams=3,
+                                             w=48, h=32, f=40.0)
+    pt = synthetic.init_point_cloud(scene, noise=0.02)
+    cfg = TrainConfig(raster=RS, capacity=128, report_every=20)
+    logs = []
+    params, variables = train_motion(
+        dataset, cfg, pt, w2c, num_bases=4, num_iters=120,
+        callbacks={"on_step": lambda t, i, m: logs.append(
+            (float(m["loss"]), float(m["psnr"])))})
+    assert np.isfinite([l[0] for l in logs]).all()
+    assert logs[-1][0] < logs[0][0]  # loss decreased
+    assert params["motion_rots"].shape == (4, 3, 6)
+    # background stays pinned: label==0 gaussians keep canonical positions
+    from dynamic3dgaussians_tpu.train.motion_trainer import posed_gaussians
+    posed0 = posed_gaussians(params, jnp.int32(0))
+    posed2 = posed_gaussians(params, jnp.int32(2))
+    bg = np.asarray(params["label"]) < 0.5
+    np.testing.assert_allclose(np.asarray(posed0["means3D"])[bg],
+                               np.asarray(posed2["means3D"])[bg])
+
+
+def test_feature_field_training():
+    """Per-gaussian semantic features fit a GT feature map."""
+    scene = synthetic.make_gt_scene(n_fg=30, n_bg=50, seed=2)
+    dataset, w2c, _ = synthetic.make_dataset(scene, num_t=1, num_cams=3,
+                                             w=48, h=32, f=40.0)
+    # fabricate a GT feature map: downsampled seg-derived 8-dim features
+    for frames in dataset:
+        for fr in frames:
+            seg = np.asarray(fr["seg"])[..., 0]
+            gt = np.stack([seg, 1 - seg] + [seg * 0.5] * 6, axis=-1)
+            fr["gt_feature"] = jnp.asarray(gt[::2, ::2])  # coarser than image
+    pt = synthetic.init_point_cloud(scene, noise=0.02)
+    cfg = TrainConfig(num_timesteps=1, iters_first_timestep=60,
+                      densify_start=10 ** 9, raster=RS, capacity=128,
+                      semantic_dim=8, report_every=20)
+    logs = []
+    out, params, variables = train(
+        dataset, cfg, pt, w2c,
+        callbacks={"on_step": lambda t, i, m: logs.append(
+            {k: float(v) for k, v in m.items()})})
+    assert "loss_feature" in logs[0]
+    assert np.isfinite([l["loss_feature"] for l in logs]).all()
+    assert logs[-1]["loss_feature"] < logs[0]["loss_feature"]
+
+
+def test_feature_pca_and_edges():
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.rand(16, 16, 8), jnp.float32)
+    rgb, basis = IU.feature_pca(feat)
+    assert rgb.shape == (16, 16, 3) and basis.shape == (8, 3)
+    rgb2, _ = IU.feature_pca(feat, basis=basis)
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb), atol=1e-5)
+    img = jnp.zeros((16, 16)).at[:, 8:].set(1.0)
+    e = IU.sobel_edges(img)
+    assert float(e[8, 8]) > 1.0  # strong vertical edge
+    assert float(e[8, 2]) < 1e-6
+
+
+def test_depth_to_normal_flat_plane():
+    depth = jnp.full((16, 16), 3.0)
+    n = IU.depth_to_normal(depth, 50.0, 50.0)
+    np.testing.assert_allclose(np.asarray(n[4:-4, 4:-4]),
+                               np.tile([0, 0, 1.0], (8, 8, 1)), atol=1e-5)
+
+
+def test_label_colormap():
+    cm = IU.label_colormap()
+    assert cm.shape == (256, 3)
+    np.testing.assert_array_equal(cm[0], [0, 0, 0])
+    np.testing.assert_array_equal(cm[1], [128, 0, 0])  # VOC class 1
