@@ -3,28 +3,28 @@
 TPU-native equivalent of the reference's `duplicateWithKeys` + CUB radix sort
 + `identifyTileRanges` pipeline (…/cuda_rasterizer/rasterizer_impl.cu:68-138,
 281-324). The CUDA version builds a data-dependent number of 64-bit
-(tile | depth-bits) keys; XLA needs static shapes, so we use capacity-padded
-buffers (SURVEY.md §7 "hard part iii"):
+(tile | depth-bits) keys; XLA needs static shapes, so every gaussian emits a
+fixed K = `max_tiles_per_gaussian` candidate pairs (its clamped tile rect,
+row-major) with a sentinel tile id for unused slots, and ONE two-key
+`lax.sort((tile, depth), payload...)` puts real pairs in per-tile
+front-to-back order with sentinels at the back.
 
-  * each gaussian may emit up to `max_tiles_per_gaussian` pairs (its clamped
-    tile rect, row-major),
-  * pairs are scattered at exclusive-prefix-sum offsets into a buffer of
-    static capacity `pair_capacity` (out-of-capacity pairs drop and are
-    *counted*, never silently lost),
-  * a lexicographic `lax.sort` over (tile_id, depth) with stable id payload
-    replaces the radix sort — same ordering semantics: per tile,
-    front-to-back by view z with stable ties,
-  * per-tile [start, count) ranges come from two `searchsorted` calls.
+Perf notes (measured on TPU v5e): `lax.sort` runs near memcpy speed and
+payload arrays ride almost for free, while dynamic gathers/scatters cost
+~10 cycles/element — so this module is built exclusively from sorts,
+searchsorteds and elementwise math. Emission intermediates are laid out
+(K, N) so the minor (lane) dimension is the large N, not the tiny K
+(TPU pads the minor dim to 128 lanes; (N, K) would waste ~32x bandwidth).
 
 Everything here is integer plumbing with zero gradients; gradients flow
-through the gathered per-gaussian records in the renderer.
+through the per-pair record payloads in the sorted renderer
+(ops/sorted_raster.py) or the gathered records of the XLA oracle path.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,102 +40,92 @@ class TileBins(NamedTuple):
     n_dropped_rect: jnp.ndarray      # () int32 pairs dropped by per-gaussian cap
 
 
+def emit_pairs(proj: Projected, tile_h: int, tile_w: int,
+               grid_h: int, grid_w: int, max_tiles_per_gaussian: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Enumerate each gaussian's tile rect into flat (K*N,) pair keys.
+
+    Returns (tile_key, gid, n_dropped_rect): tile_key holds `num_tiles` as the
+    out-of-range sentinel for unused emission slots; flat index layout is
+    k-major (pair slot p = k * N + gaussian), so a consumer can reshape
+    per-pair data back to (K, N) and reduce over K.
+    """
+    k_cap = max_tiles_per_gaussian
+    num_tiles = grid_h * grid_w
+    n = proj.depth.shape[0]
+    tx0, ty0, tx1, ty1, raw_count = tile_rect(proj, tile_h, tile_w,
+                                              grid_h, grid_w)
+    count = jnp.minimum(raw_count, k_cap)
+    n_dropped_rect = jnp.sum(raw_count - count)
+
+    # (K, N): sublanes = rect slot, lanes = gaussian (keep N minor!)
+    kk = lax.broadcasted_iota(jnp.int32, (k_cap, n), 0)
+    rw = jnp.maximum(tx1 - tx0, 1)[None, :]
+    ty = ty0[None, :] + kk // rw
+    tx = tx0[None, :] + kk % rw
+    ok = kk < count[None, :]
+    tile_key = jnp.where(ok, ty * grid_w + tx, num_tiles).astype(jnp.int32)
+    gid = jnp.broadcast_to(
+        lax.broadcasted_iota(jnp.int32, (k_cap, n), 1), (k_cap, n))
+    return (tile_key.reshape(-1), gid.reshape(-1),
+            n_dropped_rect.astype(jnp.int32))
+
+
+def tile_ranges(sorted_tile: jnp.ndarray, num_tiles: int):
+    """Per-tile [start, count) ranges of a tile-sorted pair list."""
+    bounds = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    return bounds[:-1], bounds[1:] - bounds[:-1]
+
+
+def sort_pairs(tile_key: jnp.ndarray, depth_key: jnp.ndarray,
+               payload: Sequence[jnp.ndarray]):
+    """Two-key (tile, depth) unstable sort carrying arbitrary payload rows.
+
+    Matches the CUDA radix sort's ordering semantics (front-to-back by view z
+    within each tile, rasterizer_impl.cu:102-104, 306-314); ties are broken
+    arbitrarily where the reference breaks them by emission order — both are
+    valid orderings of equal-depth gaussians.
+    """
+    out = lax.sort((tile_key, depth_key) + tuple(payload), num_keys=2,
+                   is_stable=False)
+    return out[0], out[1], out[2:]
+
+
 def bin_gaussians(proj: Projected, tile_h: int, tile_w: int,
                   grid_h: int, grid_w: int,
                   pair_capacity: int,
                   max_tiles_per_gaussian: int = 16) -> TileBins:
     """Bin projected gaussians into per-tile, depth-sorted id lists.
 
-    Pairs are emitted in global front-to-back order (gaussians pre-sorted by
-    view depth, N log N on N not on the pair count), so one *single-key*
-    stable sort by tile id finishes the job — the depth bits the CUDA
-    version packs into its 64-bit radix keys (rasterizer_impl.cu:102-104)
-    ride along for free in the emission order.
+    This is the gather-based consumer interface (XLA oracle path / tests);
+    the production pallas path uses `emit_pairs` + `sort_pairs` directly with
+    record payloads (ops/sorted_raster.py) and no capacity truncation.
     """
     num_tiles = grid_h * grid_w
-    rect_min, rect_max, raw_count = tile_rect(proj, tile_h, tile_w,
-                                              grid_h, grid_w)
-    count = jnp.minimum(raw_count, max_tiles_per_gaussian)
-    n_dropped_rect = jnp.sum(jnp.maximum(raw_count - max_tiles_per_gaussian, 0))
+    tile_key, gid, n_dropped_rect = emit_pairs(proj, tile_h, tile_w, grid_h,
+                                               grid_w, max_tiles_per_gaussian)
+    sorted_tile, _, (sorted_gid,) = sort_pairs(
+        tile_key, jnp.where(proj.valid, proj.depth, jnp.inf)[
+            jnp.newaxis].repeat(max_tiles_per_gaussian, 0).reshape(-1),
+        (gid,))
+    num_pairs = jnp.sum((sorted_tile < num_tiles).astype(jnp.int32))
 
-    # front-to-back gaussian order (stable; invalid to the back)
-    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
-    rect_min, rect_max, count = rect_min[order], rect_max[order], count[order]
-
-    offsets = jnp.cumsum(count) - count          # exclusive prefix sum
-    num_pairs = offsets[-1] + count[-1]
-
-    # Enumerate each gaussian's rect row-major (duplicateWithKeys semantics).
-    j = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)
-    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    ty = rect_min[:, 1][:, None] + j[None, :] // rw[:, None]
-    tx = rect_min[:, 0][:, None] + j[None, :] % rw[:, None]
-    tile_id = ty * grid_w + tx                       # (N, K)
-    pair_ok = j[None, :] < count[:, None]
-
-    pos = offsets[:, None] + j[None, :]
-    pos = jnp.where(pair_ok & (pos < pair_capacity), pos, pair_capacity)
-    n_dropped_capacity = jnp.maximum(num_pairs - pair_capacity, 0)
-
-    gid = jnp.broadcast_to(order.astype(jnp.int32)[:, None], tile_id.shape)
-
-    flat_pos = pos.reshape(-1)
-    buf_tile = jnp.full((pair_capacity,), num_tiles, jnp.int32).at[flat_pos]\
-        .set(tile_id.reshape(-1).astype(jnp.int32), mode="drop")
-    buf_gid = jnp.zeros((pair_capacity,), jnp.int32).at[flat_pos]\
-        .set(gid.reshape(-1), mode="drop")
-
-    sorted_tile, sorted_gid = lax.sort(
-        (buf_tile, buf_gid), num_keys=1, is_stable=True)
-
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    cap = min(pair_capacity, sorted_tile.shape[0])
+    sorted_tile = sorted_tile[:cap]
+    sorted_gid = sorted_gid[:cap]
+    if cap < pair_capacity:
+        sorted_tile = jnp.pad(sorted_tile, (0, pair_capacity - cap),
+                              constant_values=num_tiles)
+        sorted_gid = jnp.pad(sorted_gid, (0, pair_capacity - cap))
+    starts, counts = tile_ranges(sorted_tile, num_tiles)
+    n_dropped_capacity = jnp.maximum(num_pairs - cap, 0)
     return TileBins(
         gaussian_ids=sorted_gid,
         tile_starts=starts,
-        tile_counts=ends - starts,
+        tile_counts=counts,
         num_pairs=num_pairs.astype(jnp.int32),
         n_dropped_capacity=n_dropped_capacity.astype(jnp.int32),
-        n_dropped_rect=n_dropped_rect.astype(jnp.int32),
+        n_dropped_rect=n_dropped_rect,
     )
-
-
-def aligned_pair_layout(bins: TileBins, chunk: int, max_per_tile: int,
-                        aligned_capacity: int):
-    """Re-lay the sorted pair list into chunk-aligned per-tile segments.
-
-    The Pallas kernel wants each tile's record list to start at a multiple of
-    `chunk` in HBM so its DMAs are aligned contiguous slices. Tile t occupies
-    slots [aligned_starts[t], aligned_starts[t] + n_chunks[t]*chunk); slack
-    slots map to gaussian 0 with valid=False (the caller zeroes opacity
-    there, so they composite as nothing).
-
-    Returns:
-      gid (aligned_capacity,) int32 — gaussian id per aligned slot,
-      valid (aligned_capacity,) bool,
-      aligned_starts (num_tiles,) int32,
-      n_chunks (num_tiles,) int32 — chunk count per tile (counts clamped to
-        max_per_tile; overflow is already reported by the caller).
-    """
-    counts = jnp.minimum(bins.tile_counts, max_per_tile)
-    n_chunks = -(-counts // chunk)
-    aligned_counts = n_chunks * chunk
-    aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
-        jnp.int32)
-
-    num_tiles = aligned_starts.shape[0]
-    # tile-of-slot via scatter-max + cumulative max (cheaper than a
-    # searchsorted over the whole aligned capacity); start-position ties
-    # (empty tiles) resolve to the highest tile index, whose j test is the
-    # meaningful one.
-    marks = jnp.zeros((aligned_capacity,), jnp.int32).at[aligned_starts].max(
-        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
-    tile_of = lax.cummax(marks)
-    slot = jnp.arange(aligned_capacity, dtype=jnp.int32)
-    j = slot - aligned_starts[tile_of]
-    valid = j < counts[tile_of]
-    src = bins.tile_starts[tile_of] + j
-    gid = bins.gaussian_ids[jnp.clip(src, 0, bins.gaussian_ids.shape[0] - 1)]
-    gid = jnp.where(valid, gid, 0)
-    return gid, valid, aligned_starts, n_chunks.astype(jnp.int32)

@@ -4,10 +4,14 @@ One grid step per image tile, mirroring the CUDA kernel's
 one-thread-block-per-tile structure (…/cuda_rasterizer/forward.cu:274-442) —
 but mapped to TPU hardware instead of translated:
 
-  * the tile's depth-sorted gaussian records live as contiguous,
-    chunk-aligned HBM segments (binning.aligned_pair_layout) in a
-    feature-major layout — geom (8, ACAP), vals (CV, ACAP) — so every DMA is
-    a 128-aligned lane slice and no in-kernel transposes are needed,
+  * the tile's depth-sorted gaussian records live as ONE contiguous segment
+    [start, start+count) of the (tile, depth)-sorted pair buffer in HBM, in a
+    feature-major layout — geom (8, NE), vals (CV, NE) — so every DMA is a
+    lane slice and no in-kernel transposes are needed,
+  * per-tile segments are NOT chunk-aligned; the kernel aligns each DMA down
+    to a chunk boundary and masks the out-of-range lanes (this removes the
+    re-layout pass an aligned scheme would need — a ~1M-slot gather that
+    costs more than the whole kernel on TPU),
   * the kernel double-buffers G=chunk records at a time into VMEM (the
     analogue of the staged shared-memory batches, forward.cu:311-342),
   * per chunk, the (P, G) alpha matrix is pure VPU work (pixels on sublanes,
@@ -20,9 +24,10 @@ but mapped to TPU hardware instead of translated:
     (forward.cu:367-371's per-pixel `done`, lifted to tile granularity).
 
 Outputs the raw accumulator (channels..., depth, alpha) per tile pixel;
-background compositing / untiling stay in XLA. The backward pass reuses the
-XLA compositing path's autodiff via jax.custom_vjp (rasterize.py) — race-free
-where the CUDA backward needed atomicAdd (SURVEY.md §5.2).
+background compositing / untiling stay in XLA. The backward pass is the
+hand-written Pallas kernel in raster_bwd.py (race-free and deterministic
+where the CUDA backward needs atomicAdd — SURVEY.md §5.2), wired up via
+jax.custom_vjp in ops/sorted_raster.py.
 """
 
 from __future__ import annotations
@@ -37,21 +42,50 @@ from jax.experimental.pallas import tpu as pltpu
 from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 
 GEOM_ROWS = 8  # [x, y, conic_a, conic_b, conic_c, opacity, pad, pad]
+T_DEAD = 1e-4  # early-termination threshold (forward.cu:367-371)
 
 
-def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
+def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
+    """(P, G) alpha for one record chunk with [lane_lo, lane_hi) validity.
+
+    Shared between the forward and backward kernels so both see bitwise
+    identical alphas. `g` is the (8, G) geometry block.
+    """
+    x, y = g[0:1, :], g[1:2, :]
+    ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
+    op = g[5:6, :]
+    dx = x - px                               # (P, G)
+    dy = y - py
+    power = jnp.minimum(
+        -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy, 0.0)
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ok = (lane >= lane_lo) & (lane < lane_hi)
+    return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
+
+
+def tile_pixel_coords(i, grid_w, tile_h, tile_w):
+    """(P, 1) pixel-center coordinates of tile i (row-major tiles/pixels)."""
+    p = tile_h * tile_w
+    ty = (i // grid_w).astype(jnp.float32)
+    tx = (i % grid_w).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * tile_w + (lin % tile_w).astype(jnp.float32)
+    py = ty * tile_h + (lin // tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
             geom_vmem, vals_vmem, t_scr, acc_scr, sems,
             *, chunk, tile_h, tile_w, grid_w, n_val):
     i = pl.program_id(0)
     start = starts_ref[i]
-    n_chunks = nchunks_ref[i]
+    count = counts_ref[i]
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    shift = start - base
+    n_chunks = (shift + count + chunk - 1) // chunk
     p = tile_h * tile_w
-
-    ty = (i // grid_w).astype(jnp.float32)
-    tx = (i % grid_w).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tx * tile_w + (lin % tile_w).astype(jnp.float32)   # (P, 1)
-    py = ty * tile_h + (lin // tile_w).astype(jnp.float32)
+    px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
 
     t_scr[:] = jnp.ones((p, 1), jnp.float32)
     acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
@@ -62,7 +96,7 @@ def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
     upper = (rows < cols).astype(jnp.float32)
 
     def get_dma(slot, k):
-        off = pl.multiple_of(start + k * chunk, chunk)
+        off = pl.multiple_of(base + k * chunk, chunk)
         return (
             pltpu.make_async_copy(geom_hbm.at[:, pl.ds(off, chunk)],
                                   geom_vmem.at[slot], sems.at[slot, 0]),
@@ -76,7 +110,7 @@ def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
             dma.start()
 
         def cond(k):
-            return (k < n_chunks) & (jnp.max(t_scr[:]) > 1e-4)
+            return (k < n_chunks) & (jnp.max(t_scr[:]) > T_DEAD)
 
         def body(k):
             slot = k % 2
@@ -89,17 +123,9 @@ def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
             for dma in get_dma(slot, k):
                 dma.wait()
 
-            g = geom_vmem[slot]                       # (8, G)
-            x, y = g[0:1, :], g[1:2, :]
-            ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
-            op = g[5:6, :]
-            dx = x - px                               # (P, G)
-            dy = y - py
-            power = jnp.minimum(
-                -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy, 0.0)
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
-
+            alpha = chunk_alpha_masked(geom_vmem[slot], px, py,
+                                       shift - k * chunk,
+                                       shift + count - k * chunk, chunk)
             logs = jnp.log1p(-alpha)                  # (P, G)
             cum_excl = jax.lax.dot_general(
                 logs, upper, (((1,), (0,)), ((), ())),
@@ -115,7 +141,15 @@ def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
                         * (1.0 - alpha[:, chunk - 1:chunk]))
             return k + 1
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+        k_stop = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        # Drain the dangling prefetch on early termination: chunk k_stop's
+        # DMAs were started by the last body iteration but never waited; a
+        # leftover semaphore signal would corrupt the next grid step's waits.
+        @pl.when(k_stop < n_chunks)
+        def _():
+            for dma in get_dma(k_stop % 2, k_stop):
+                dma.wait()
 
     out_ref[0] = acc_scr[:]
 
@@ -123,17 +157,20 @@ def _kernel(starts_ref, nchunks_ref, geom_hbm, vals_hbm, out_ref,
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
                                              "tile_w", "chunk"))
 def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
-                           aligned_starts: jnp.ndarray,
-                           n_chunks: jnp.ndarray, *, num_tiles: int,
+                           tile_starts: jnp.ndarray,
+                           tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
                            chunk: int = 128) -> jnp.ndarray:
-    """Run the tile kernel.
+    """Run the forward tile kernel.
 
     Args:
-      geom_t: (8, ACAP) f32 rows [x, y, conic_a, conic_b, conic_c, opacity,
-        0, 0] in aligned pair order (invalid slots must have opacity 0).
-      vals_t: (CV, ACAP) f32 channel rows [channels..., depth, 1], CV % 8 == 0.
-      aligned_starts / n_chunks: (num_tiles,) int32 from aligned_pair_layout.
+      geom_t: (8, NE_pad) f32 rows [x, y, conic_a, conic_b, conic_c, opacity,
+        0, 0] in (tile, depth)-sorted pair order. NE_pad must be a multiple
+        of `chunk` with at least one chunk of slack past the last real pair
+        (the kernel's down-aligned DMAs may read up to chunk-1 slots past a
+        tile's segment; masked lanes contribute nothing).
+      vals_t: (CV, NE_pad) f32 channel rows [channels..., depth, 1], CV % 8 == 0.
+      tile_starts / tile_counts: (num_tiles,) int32 segment per tile.
 
     Returns:
       (num_tiles, tile_h*tile_w, CV) raw accumulators; channel CV-1 is the
@@ -170,4 +207,4 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, p, n_val), jnp.float32),
         interpret=interpret,
-    )(aligned_starts, n_chunks, geom_t, vals_t)
+    )(tile_starts, tile_counts, geom_t, vals_t)

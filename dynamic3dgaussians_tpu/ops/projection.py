@@ -9,6 +9,12 @@ touched-tile counting. Implemented as fully vectorized elementwise math so XLA
 fuses it into a handful of VPU loops, and the backward comes from autodiff
 instead of the reference's ~500 lines of hand-written gradient CUDA.
 
+TPU layout note: every per-gaussian quantity here is a FLAT (N,) array
+(structure-of-arrays). TPU arrays tile as (8 sublanes, 128 lanes); an (N, 3)
+array pads its minor dim 3 -> 128, wasting ~40x HBM bandwidth on every pass.
+`Projected` therefore stores flat components and offers stacked `.mean2d` /
+`.conic` views only for convenience/tests.
+
 Math conventions match the reference exactly:
   cov3D  = R S^2 R^T                               (forward.cu:129-163)
   cov2D  = J W cov3D W^T J^T + 0.3*I               (forward.cu:75-124)
@@ -25,7 +31,6 @@ import flax.struct
 import jax.numpy as jnp
 
 from dynamic3dgaussians_tpu.ops.camera import Camera
-from dynamic3dgaussians_tpu.ops.quat import quat_to_rotmat
 
 # Low-pass filter ensuring every gaussian is >= ~1px (forward.cu:121-122).
 COV2D_BLUR = 0.3
@@ -35,13 +40,34 @@ EIG_GUARD = 0.1
 
 @flax.struct.dataclass
 class Projected:
-    """Per-gaussian screen-space primitives produced by `project`."""
+    """Per-gaussian screen-space primitives produced by `project`.
 
-    mean2d: jnp.ndarray    # (N, 2) pixel coords of the projected center
-    conic: jnp.ndarray     # (N, 3) upper-tri of inverse 2D covariance (a,b,c)
-    depth: jnp.ndarray     # (N,)  view-space z
-    radius: jnp.ndarray    # (N,)  integer screen radius (0 => culled)
-    valid: jnp.ndarray     # (N,)  bool, survives frustum/det/extent culling
+    All fields are flat (N,) arrays (see module docstring for why).
+    """
+
+    x2d: jnp.ndarray       # (N,) pixel x of the projected center
+    y2d: jnp.ndarray       # (N,) pixel y
+    conic_a: jnp.ndarray   # (N,) inverse 2D covariance upper-tri a
+    conic_b: jnp.ndarray   # (N,) b
+    conic_c: jnp.ndarray   # (N,) c
+    depth: jnp.ndarray     # (N,) view-space z
+    radius: jnp.ndarray    # (N,) integer screen radius (0 => culled)
+    valid: jnp.ndarray     # (N,) bool, survives frustum/det/extent culling
+
+    @property
+    def mean2d(self) -> jnp.ndarray:
+        """(N, 2) stacked view (convenience; prefer the flat fields)."""
+        return jnp.stack([self.x2d, self.y2d], axis=-1)
+
+    @property
+    def conic(self) -> jnp.ndarray:
+        """(N, 3) stacked view (convenience; prefer the flat fields)."""
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], axis=-1)
+
+
+def _components3(v: jnp.ndarray):
+    """(N, 3) -> three flat (N,) components (one relayout pass each)."""
+    return v[..., 0], v[..., 1], v[..., 2]
 
 
 def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
@@ -57,7 +83,13 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     Returns:
       (N, 6) packed [xx, xy, xz, yy, yz, zz]  (forward.cu:129-163 layout).
     """
-    r, x, y, z = jnp.moveaxis(rotations, -1, 0)
+    return jnp.stack(_cov3d_components(scales, rotations, scale_modifier),
+                     axis=-1)
+
+
+def _cov3d_components(scales, rotations, scale_modifier=1.0):
+    r, x, y, z = (rotations[..., 0], rotations[..., 1], rotations[..., 2],
+                  rotations[..., 3])
     # rotation-matrix components (standard form, external.py:61-78)
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - r * z)
@@ -68,26 +100,27 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     r20 = 2 * (x * z - r * y)
     r21 = 2 * (y * z + r * x)
     r22 = 1 - 2 * (x * x + y * y)
-    s2 = (scale_modifier * scales) ** 2
-    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+    sx, sy, sz = _components3(scales)
+    s0 = (scale_modifier * sx) ** 2
+    s1 = (scale_modifier * sy) ** 2
+    s2_ = (scale_modifier * sz) ** 2
     # Sigma_ab = sum_k s_k^2 R_ak R_bk
-    return jnp.stack([
+    return (
         s0 * r00 * r00 + s1 * r01 * r01 + s2_ * r02 * r02,
         s0 * r00 * r10 + s1 * r01 * r11 + s2_ * r02 * r12,
         s0 * r00 * r20 + s1 * r01 * r21 + s2_ * r02 * r22,
         s0 * r10 * r10 + s1 * r11 * r11 + s2_ * r12 * r12,
         s0 * r10 * r20 + s1 * r11 * r21 + s2_ * r12 * r22,
         s0 * r20 * r20 + s1 * r21 * r21 + s2_ * r22 * r22,
-    ], axis=-1)
+    )
 
 
-def _ewa_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: Camera):
+def _ewa_cov2d(mx, my, mz, cov6, cam: Camera):
     """EWA 2D covariance (forward.cu:75-124), principal-point-aware clamping.
 
-    Returns (N, 3) packed [xx, xy, yy] with the +0.3 low-pass on the diagonal.
+    Returns flat (cxx, cxy, cyy) with the +0.3 low-pass on the diagonal.
     """
     V = cam.w2c
-    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
     tx0 = V[0, 0] * mx + V[0, 1] * my + V[0, 2] * mz + V[0, 3]
     ty0 = V[1, 0] * mx + V[1, 1] * my + V[1, 2] * mz + V[1, 3]
     tz = V[2, 0] * mx + V[2, 1] * my + V[2, 2] * mz + V[2, 3]
@@ -107,26 +140,30 @@ def _ewa_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: Camera):
     # a linear combination of two constant W rows; no batched matmuls).
     fx, fy = cam.fx, cam.fy
     W = cam.w2c[:3, :3]
-    a0 = (fx / tz)[..., None]                    # (N, 1)
-    a2 = (-fx * tx / (tz * tz))[..., None]
-    b1 = (fy / tz)[..., None]
-    b2 = (-fy * ty / (tz * tz))[..., None]
-    t0 = a0 * W[0] + a2 * W[2]                   # (N, 3) row 0 of T
-    t1 = b1 * W[1] + b2 * W[2]                   # (N, 3) row 1 of T
+    a0 = fx / tz
+    a2 = -fx * tx / (tz * tz)
+    b1 = fy / tz
+    b2 = -fy * ty / (tz * tz)
+    # rows of T as flat components
+    t0x = a0 * W[0, 0] + a2 * W[2, 0]
+    t0y = a0 * W[0, 1] + a2 * W[2, 1]
+    t0z = a0 * W[0, 2] + a2 * W[2, 2]
+    t1x = b1 * W[1, 0] + b2 * W[2, 0]
+    t1y = b1 * W[1, 1] + b2 * W[2, 1]
+    t1z = b1 * W[1, 2] + b2 * W[2, 2]
 
-    # cov2d entries are quadratic forms u^T V v with packed symmetric V
-    vxx, vxy, vxz, vyy, vyz, vzz = jnp.moveaxis(cov3d, -1, 0)
+    vxx, vxy, vxz, vyy, vyz, vzz = cov6
 
-    def quad(u, v):
-        return (u[..., 0] * v[..., 0] * vxx + u[..., 1] * v[..., 1] * vyy
-                + u[..., 2] * v[..., 2] * vzz
-                + (u[..., 0] * v[..., 1] + u[..., 1] * v[..., 0]) * vxy
-                + (u[..., 0] * v[..., 2] + u[..., 2] * v[..., 0]) * vxz
-                + (u[..., 1] * v[..., 2] + u[..., 2] * v[..., 1]) * vyz)
+    def quad(ux, uy, uz, vx, vy, vz):
+        return (ux * vx * vxx + uy * vy * vyy + uz * vz * vzz
+                + (ux * vy + uy * vx) * vxy
+                + (ux * vz + uz * vx) * vxz
+                + (uy * vz + uz * vy) * vyz)
 
-    return jnp.stack([quad(t0, t0) + COV2D_BLUR,
-                      quad(t0, t1),
-                      quad(t1, t1) + COV2D_BLUR], axis=-1)
+    cxx = quad(t0x, t0y, t0z, t0x, t0y, t0z) + COV2D_BLUR
+    cxy = quad(t0x, t0y, t0z, t1x, t1y, t1z)
+    cyy = quad(t1x, t1y, t1z, t1x, t1y, t1z) + COV2D_BLUR
+    return cxx, cxy, cyy
 
 
 def unpack_sym3(packed: jnp.ndarray) -> jnp.ndarray:
@@ -172,30 +209,35 @@ def project(means3d: jnp.ndarray,
       cull and zero-extent cull.
     """
     M = cam.full_proj
-    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    mx, my, mz = _components3(means3d)
     px_hom = M[0, 0] * mx + M[0, 1] * my + M[0, 2] * mz + M[0, 3]
     py_hom = M[1, 0] * mx + M[1, 1] * my + M[1, 2] * mz + M[1, 3]
     p_w_hom = M[3, 0] * mx + M[3, 1] * my + M[3, 2] * mz + M[3, 3]
     inv_w = 1.0 / (p_w_hom + 1e-7)
-    ndc_xy = jnp.stack([px_hom, py_hom], axis=-1) * inv_w[..., None]
+    ndc_x = px_hom * inv_w
+    ndc_y = py_hom * inv_w
     if mean2d_probe_ndc is not None:
-        ndc_xy = ndc_xy + mean2d_probe_ndc
-    mean2d = jnp.stack([ndc2pix(ndc_xy[..., 0], cam.width),
-                        ndc2pix(ndc_xy[..., 1], cam.height)], axis=-1)
+        ndc_x = ndc_x + mean2d_probe_ndc[..., 0]
+        ndc_y = ndc_y + mean2d_probe_ndc[..., 1]
+    x2d = ndc2pix(ndc_x, cam.width)
+    y2d = ndc2pix(ndc_y, cam.height)
 
     V = cam.w2c
     depth = V[2, 0] * mx + V[2, 1] * my + V[2, 2] * mz + V[2, 3]
     in_front = depth > cam.near
 
-    cov3d = cov3d_precomp if cov3d_precomp is not None else build_cov3d(
-        scales, rotations, scale_modifier)
-    cov2d = _ewa_cov2d(means3d, cov3d, cam)
-    cxx, cxy, cyy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    if cov3d_precomp is not None:
+        cov6 = tuple(cov3d_precomp[..., i] for i in range(6))
+    else:
+        cov6 = _cov3d_components(scales, rotations, scale_modifier)
+    cxx, cxy, cyy = _ewa_cov2d(mx, my, mz, cov6, cam)
     det = cxx * cyy - cxy * cxy
     det_ok = det > 0.0
     safe_det = jnp.where(det_ok, det, 1.0)
     inv_det = 1.0 / safe_det
-    conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
+    conic_a = cyy * inv_det
+    conic_b = -cxy * inv_det
+    conic_c = cxx * inv_det
 
     mid = 0.5 * (cxx + cyy)
     lam = mid + jnp.sqrt(jnp.maximum(EIG_GUARD, mid * mid - det))
@@ -204,30 +246,28 @@ def project(means3d: jnp.ndarray,
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
     # Zero-extent cull: gaussians whose 3-sigma rect misses the image.
-    on_screen = ((mean2d[..., 0] + radius_f >= 0)
-                 & (mean2d[..., 0] - radius_f <= cam.width - 1)
-                 & (mean2d[..., 1] + radius_f >= 0)
-                 & (mean2d[..., 1] - radius_f <= cam.height - 1))
+    on_screen = ((x2d + radius_f >= 0)
+                 & (x2d - radius_f <= cam.width - 1)
+                 & (y2d + radius_f >= 0)
+                 & (y2d - radius_f <= cam.height - 1))
     valid = valid & on_screen & (radius > 0)
     radius = jnp.where(valid, radius, 0)
-    return Projected(mean2d=mean2d, conic=conic, depth=depth,
-                     radius=radius, valid=valid)
+    return Projected(x2d=x2d, y2d=y2d, conic_a=conic_a, conic_b=conic_b,
+                     conic_c=conic_c, depth=depth, radius=radius, valid=valid)
 
 
 def tile_rect(proj: Projected, tile_h: int, tile_w: int, grid_h: int,
               grid_w: int):
     """Tile-rectangle bounds per gaussian (auxiliary.h getRect semantics).
 
-    Returns (rect_min, rect_max) each (N, 2) in (tx, ty) tile coords with
-    rect_max exclusive, clamped to the grid, and the touched-tile count.
+    Returns flat (tx0, ty0, tx1, ty1, count): tile coords with the max side
+    exclusive, clamped to the grid, plus the touched-tile count.
     """
     r = proj.radius.astype(jnp.float32)
-    x, y = proj.mean2d[..., 0], proj.mean2d[..., 1]
+    x, y = proj.x2d, proj.y2d
     tx0 = jnp.clip(jnp.floor((x - r) / tile_w), 0, grid_w).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((y - r) / tile_h), 0, grid_h).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((x + r) / tile_w) + 1, 0, grid_w).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((y + r) / tile_h) + 1, 0, grid_h).astype(jnp.int32)
     count = jnp.where(proj.valid, (tx1 - tx0) * (ty1 - ty0), 0)
-    rect_min = jnp.stack([tx0, ty0], axis=-1)
-    rect_max = jnp.stack([tx1, ty1], axis=-1)
-    return rect_min, rect_max, count
+    return tx0, ty0, tx1, ty1, count

@@ -13,33 +13,37 @@ Capability map to the reference stack:
     together via `extra_channels`, removing the 2x second-render overhead the
     reference README acknowledges at README.md:88-89).
   * CUDA forward pipeline N1->N2->N3 (rasterizer_impl.cu:198-346) ->
-    `project` + `bin_gaussians` + `_composite_tiles` (pure XLA, MXU matmuls).
-  * CUDA backward N4/N5 (backward.cu) -> JAX autodiff through the same ops,
-    rematerialized per chunk (`jax.checkpoint`) — race-free and deterministic
-    where the reference uses atomicAdd (SURVEY.md §5.2).
+    `project` + sorted-pair emission + Pallas tile kernel
+    (ops/sorted_raster.py) for method="pallas" (the production TPU path), or
+    the pure-XLA `_gather_and_composite` for method="tiled".
+  * CUDA backward N4/N5 (backward.cu) -> hand-written Pallas backward kernel
+    (ops/pallas/raster_bwd.py) on the pallas path; plain autodiff on the XLA
+    paths. Both are race-free and deterministic where the reference uses
+    atomicAdd (SURVEY.md §5.2).
   * `label` gradient gating (__init__.py:159-173) -> `grad_mask`.
   * means2D densification probe (helpers.py:105) -> `mean2d_probe_ndc`.
 
-The capacity knobs in RasterConfig make every shape static (XLA requirement);
-overflow is counted in `stats`, never silent.
+Capacity knobs in RasterConfig keep every shape static (XLA requirement);
+the pallas path has no pair capacity at all (every gaussian owns K =
+max_tiles_per_gaussian emission slots); rect-cap overflow is counted in
+`stats`, never silent.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynamic3dgaussians_tpu.ops import compositing
-from dynamic3dgaussians_tpu.ops.binning import aligned_pair_layout, bin_gaussians
+from dynamic3dgaussians_tpu.ops.binning import bin_gaussians
 from dynamic3dgaussians_tpu.ops.camera import Camera
 from dynamic3dgaussians_tpu.ops.projection import Projected, project
 from dynamic3dgaussians_tpu.ops.rasterize_ref import render_primitives_reference
 from dynamic3dgaussians_tpu.ops.sh import sh_to_color
+from dynamic3dgaussians_tpu.ops.sorted_raster import render_sorted
 
 
 @flax.struct.dataclass
@@ -49,9 +53,12 @@ class RasterConfig:
     tile_h: int = flax.struct.field(pytree_node=False, default=16)
     tile_w: int = flax.struct.field(pytree_node=False, default=16)
     chunk: int = flax.struct.field(pytree_node=False, default=128)
+    # Per-gaussian emission slots (tile-rect cap); the only capacity the
+    # pallas path has. Overflow (huge gaussians) is counted, never silent.
+    max_tiles_per_gaussian: int = flax.struct.field(pytree_node=False,
+                                                    default=8)
+    # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
-    max_tiles_per_gaussian: int = flax.struct.field(pytree_node=False, default=32)
-    # pair buffer capacity = pairs_per_gaussian * N (rounded up to 1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
 
     def pair_capacity(self, n: int) -> int:
@@ -95,10 +102,10 @@ def _untile(x, grid_h, grid_w, th, tw, h, w, c):
 def _record_table(proj: Projected, colors, opacity):
     """Pack all per-gaussian render fields into ONE (N, F) table.
 
-    TPU gathers cost ~rows/8 cycles regardless of row width, so one wide
-    row-gather beats a dozen per-field gathers by >10x. Layout:
-      [0:2] mean2d, [2:5] conic, [5] opacity (zeroed for culled gaussians),
-      [6:6+C] channels, [6+C] view depth, [7+C] ones — padded to 8 lanes.
+    (XLA tiled path only.) One wide row-gather beats a dozen per-field
+    gathers; the pallas path avoids gathers entirely via payload sorts.
+    Layout: [0:2] mean2d, [2:5] conic, [5] opacity (zeroed for culled
+    gaussians), [6:6+C] channels, [6+C] view depth, [7+C] ones — padded to 8.
     """
     op = jnp.where(proj.valid, opacity, 0.0)
     cols = [proj.mean2d, proj.conic, op[:, None], colors,
@@ -176,75 +183,6 @@ def _gather_and_composite(h: int, w: int, proj: Projected, colors, opacity,
                     1)[..., 0])
 
 
-def _aligned_capacity(cfg: RasterConfig, n: int, num_tiles: int) -> int:
-    cap = cfg.pair_capacity(n) + num_tiles * cfg.chunk
-    return -(-cap // 1024) * 1024
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pallas_core(h: int, w: int, cfg: RasterConfig, proj: Projected,
-                 colors, opacity, bg, bins):
-    """Pallas forward / XLA-autodiff backward compositing core."""
-    from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
-        GEOM_ROWS, pallas_composite_tiles)
-
-    th, tw = cfg.tile_h, cfg.tile_w
-    grid_h, grid_w = -(-h // th), -(-w // tw)
-    num_tiles = grid_h * grid_w
-    n = proj.mean2d.shape[0]
-    n_chan = colors.shape[-1]
-    mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
-    acap = _aligned_capacity(cfg, n, num_tiles)
-
-    gid, valid, astarts, nchunks = aligned_pair_layout(bins, cfg.chunk, mt,
-                                                       acap)
-    # one wide row-gather then one transpose (both ~free vs per-field gathers)
-    rec_t = _record_table(proj, colors, opacity)[gid].T           # (F, ACAP)
-    zeros = jnp.zeros((1, acap), jnp.float32)
-    op = jnp.where(valid[None, :], rec_t[5:6], 0.0)
-    # feature-major layout: rows = record fields, lanes = aligned pair slots
-    geom_t = jnp.concatenate([rec_t[0:5], op, zeros, zeros], axis=0)
-    assert geom_t.shape[0] == GEOM_ROWS
-    cv = n_chan + 2
-    vals_t = rec_t[6:6 + cv]
-    cv_pad = (-cv) % 8
-    if cv_pad:
-        vals_t = jnp.concatenate(
-            [vals_t, jnp.zeros((cv_pad, acap), jnp.float32)], axis=0)
-
-    raw = pallas_composite_tiles(geom_t, vals_t, astarts, nchunks,
-                                 num_tiles=num_tiles, grid_w=grid_w,
-                                 tile_h=th, tile_w=tw, chunk=cfg.chunk)
-    acc = raw[..., :n_chan + 2]
-    alpha_img = acc[..., n_chan + 1]
-    depth_img = acc[..., n_chan]
-    channels = acc[..., :n_chan] + (1.0 - alpha_img[..., None]) * bg
-    return (_untile(channels, grid_h, grid_w, th, tw, h, w, n_chan),
-            _untile(depth_img[..., None], grid_h, grid_w, th, tw, h, w,
-                    1)[..., 0],
-            _untile(alpha_img[..., None], grid_h, grid_w, th, tw, h, w,
-                    1)[..., 0])
-
-
-def _pallas_core_fwd(h, w, cfg, proj, colors, opacity, bg, bins):
-    out = _pallas_core(h, w, cfg, proj, colors, opacity, bg, bins)
-    return out, (proj, colors, opacity, bg, bins)
-
-
-def _pallas_core_bwd(h, w, cfg, res, cts):
-    proj, colors, opacity, bg, bins = res
-    _, vjp = jax.vjp(
-        lambda p, c, o, b: _gather_and_composite(h, w, p, c, o, b, cfg, bins),
-        proj, colors, opacity, bg)
-    d_proj, d_colors, d_opacity, d_bg = vjp(cts)
-    d_bins = jax.tree.map(
-        lambda x: np.zeros(x.shape, jax.dtypes.float0), bins)
-    return d_proj, d_colors, d_opacity, d_bg, d_bins
-
-
-_pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
-
-
 def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
                      cfg: RasterConfig, tile_sharding=None,
                      use_pallas: bool = False):
@@ -252,22 +190,27 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
     h, w = cam.height, cam.width
     th, tw = cfg.tile_h, cfg.tile_w
     grid_h, grid_w = -(-h // th), -(-w // tw)
-    n = proj.mean2d.shape[0]
-    mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
+    n = opacity.shape[0]
+    zero = jnp.int32(0)
+
+    if use_pallas:
+        op = jnp.where(proj.valid, opacity, 0.0)
+        channels, depth_img, alpha_img, n_dropped_rect = render_sorted(
+            h, w, proj, colors, op, bg, tile_h=th, tile_w=tw,
+            chunk=cfg.chunk,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
+        return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
+                "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
+                "n_dropped_tile_overflow": zero}
 
     bins = bin_gaussians(proj, th, tw, grid_h, grid_w,
                          pair_capacity=cfg.pair_capacity(n),
                          max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
+    mt = -(-cfg.max_per_tile // cfg.chunk) * cfg.chunk
     n_tile_overflow = jnp.sum(jnp.maximum(bins.tile_counts - mt, 0))
-
-    if use_pallas:
-        channels, depth_img, alpha_img = _pallas_core(
-            h, w, cfg, proj, colors, opacity, bg, bins)
-    else:
-        channels, depth_img, alpha_img = _gather_and_composite(
-            h, w, proj, colors, opacity, bg, cfg, bins,
-            tile_sharding=tile_sharding)
-
+    channels, depth_img, alpha_img = _gather_and_composite(
+        h, w, proj, colors, opacity, bg, cfg, bins,
+        tile_sharding=tile_sharding)
     return {
         "channels": channels,
         "depth": depth_img,
@@ -293,7 +236,7 @@ def render(cam: Camera,
            scale_modifier: float = 1.0,
            mean2d_probe_ndc: Optional[jnp.ndarray] = None,
            grad_mask: Optional[jnp.ndarray] = None,
-           method: str = "tiled",
+           method: str = "auto",
            config: Optional[RasterConfig] = None,
            tile_sharding=None) -> RenderOutput:
     """Differentiable gaussian-splat render (the framework's L1 boundary).
@@ -314,12 +257,16 @@ def render(cam: Camera,
       mean2d_probe_ndc: optional (N, 2) zeros; gradient = densification stats.
       grad_mask: optional (N,) {0,1}; zeroes all parameter gradients of masked
         gaussians (the reference's `label` mechanism).
-      method: "tiled" (production) or "reference" (O(N*H*W) oracle).
+      method: "auto" (pallas on TPU, tiled elsewhere), "pallas" (Pallas
+        fwd+bwd kernels), "tiled" (pure-XLA), or "reference" (O(N*H*W)
+        oracle).
 
     Returns:
       RenderOutput.
     """
     cfg = config or RasterConfig()
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "tiled"
     opacity = opacity.reshape(opacity.shape[0], -1)[:, 0]
     if sh is not None:
         colors = sh_to_color(sh_degree, sh, means3d, cam.cam_center)

@@ -69,8 +69,9 @@ def render_primitives_reference(
     # ... so mask them out explicitly.
     valid = proj.valid[order] & (jnp.arange(n_pad) < n)
     grid_h, grid_w = -(-h // tile_h), -(-w // tile_w)
-    rect_min, rect_max, _ = tile_rect(proj, tile_h, tile_w, grid_h, grid_w)
-    rect_min, rect_max = rect_min[order], rect_max[order]
+    tx0, ty0, tx1, ty1, _ = tile_rect(proj, tile_h, tile_w, grid_h, grid_w)
+    rect_min = jnp.stack([tx0, ty0], axis=-1)[order]
+    rect_max = jnp.stack([tx1, ty1], axis=-1)[order]
 
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)

@@ -1,0 +1,160 @@
+"""Sorted-pair rasterization: the production TPU render/grad path.
+
+Ties together the three pieces the CUDA reference implements as
+`duplicateWithKeys -> radix sort -> renderCUDA` + `BACKWARD::render`
+(…/cuda_rasterizer/rasterizer_impl.cu:281-343, backward.cu:432-652), built
+around what is fast on TPU (measured on v5e):
+
+  * `lax.sort` runs near memcpy speed and carries payload rows ~for free;
+    dynamic gathers/scatters cost ~10 cycles/element. So the per-pair record
+    fields are BROADCAST at emission and ride through ONE two-key
+    (tile, depth) sort — there is no gather anywhere on the forward path and
+    no scatter anywhere on the backward path.
+  * The backward's pair->gaussian reduction is an UNSORT (a second payload
+    sort keyed on the pair's emission position) followed by a (K, N) axis
+    sum — the deterministic, race-free equivalent of the reference's
+    atomicAdd gradient accumulation (SURVEY.md §5.2).
+  * Emission slots are k-major (slot = k * N + gaussian) so the unsorted
+    gradient rows reshape to (K, N) with the big N on the lane axis.
+
+The jax.custom_vjp pair (forward kernel raster_fwd.py, backward kernel
+raster_bwd.py) spans sort -> kernel, so XLA autodiff never differentiates
+through the sort (whose transpose would be a scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from dynamic3dgaussians_tpu.ops.binning import emit_pairs, tile_ranges
+from dynamic3dgaussians_tpu.ops.pallas.raster_bwd import \
+    pallas_composite_tiles_bwd
+from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
+    GEOM_ROWS, pallas_composite_tiles)
+from dynamic3dgaussians_tpu.ops.projection import Projected
+
+
+def _float0(x):
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
+                    chunk: int, n_chan: int):
+    """Build the custom_vjp'd sort+composite for one static configuration."""
+    cv = n_chan + 2
+    cv_pad = -(-cv // 8) * 8
+    kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
+              tile_w=tile_w, chunk=chunk)
+
+    def _prepare(tile_key, depth, pos, geom, chan):
+        arrays = (tile_key, depth, pos) + tuple(geom) + tuple(chan)
+        s = lax.sort(arrays, num_keys=2, is_stable=False)
+        st, sd, spos = s[0], s[1], s[2]
+        starts, counts = tile_ranges(st, num_tiles)
+        ne = st.shape[0]
+        ne_pad = (-(-ne // chunk) + 1) * chunk  # +1 chunk DMA-overrun slack
+        pad = ne_pad - ne
+        rows = list(s[3:9])                        # x, y, ca, cb, cc, op
+        rows += [jnp.zeros_like(st, jnp.float32)] * (GEOM_ROWS - 6)
+        geom_t = jnp.pad(jnp.stack(rows, 0), ((0, 0), (0, pad)))
+        vrows = list(s[9:]) + [sd, jnp.ones_like(sd)]
+        vrows += [jnp.zeros_like(sd)] * (cv_pad - cv)
+        vals_t = jnp.pad(jnp.stack(vrows, 0), ((0, 0), (0, pad)))
+        return geom_t, vals_t, spos, starts, counts
+
+    @jax.custom_vjp
+    def composite(tile_key, depth, pos, geom, chan):
+        geom_t, vals_t, _, starts, counts = _prepare(tile_key, depth, pos,
+                                                     geom, chan)
+        return pallas_composite_tiles(geom_t, vals_t, starts, counts, **kw)
+
+    def composite_fwd(tile_key, depth, pos, geom, chan):
+        geom_t, vals_t, spos, starts, counts = _prepare(tile_key, depth, pos,
+                                                        geom, chan)
+        raw = pallas_composite_tiles(geom_t, vals_t, starts, counts, **kw)
+        return raw, (geom_t, vals_t, spos, starts, counts)
+
+    def composite_bwd(res, d_raw):
+        geom_t, vals_t, spos, starts, counts = res
+        d_geom_t, d_vals_t = pallas_composite_tiles_bwd(
+            geom_t, vals_t, starts, counts, d_raw, **kw)
+        ne = spos.shape[0]
+        # Slots past the last real pair were never written by the kernel.
+        n_real = starts[num_tiles - 1] + counts[num_tiles - 1]
+        live = lax.broadcasted_iota(jnp.int32, (1, ne), 1)[0] < n_real
+        z = jnp.zeros((), jnp.float32)
+        d_rows = [jnp.where(live, d_geom_t[r, :ne], z) for r in range(6)]
+        d_rows += [jnp.where(live, d_vals_t[n_chan, :ne], z)]  # depth row
+        d_rows += [jnp.where(live, d_vals_t[c, :ne], z)
+                   for c in range(n_chan)]
+        un = lax.sort((spos,) + tuple(d_rows), num_keys=1, is_stable=False)
+        d_geom = tuple(un[1:7])
+        d_depth = un[7]
+        d_chan = tuple(un[8:])
+        return (_float0(spos), d_depth, _float0(spos), d_geom, d_chan)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def _untile(x, grid_h, grid_w, th, tw, h, w, c):
+    img = x.reshape(grid_h, grid_w, th, tw, c).transpose(0, 2, 1, 3, 4)
+    return img.reshape(grid_h * th, grid_w * tw, c)[:h, :w]
+
+
+def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
+                  opacity: jnp.ndarray, bg: jnp.ndarray, *,
+                  tile_h: int = 16, tile_w: int = 16, chunk: int = 128,
+                  max_tiles_per_gaussian: int = 8
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Differentiable sorted-pair render.
+
+    Args:
+      proj: Projected primitives (flat fields).
+      colors: (N, C) linear channels (RGB + any extra channels).
+      opacity: (N,) activated opacity.
+      bg: (C,) background added as bg * T_final per channel.
+
+    Returns:
+      (channels (H, W, C), depth (H, W), alpha (H, W), n_dropped_rect).
+    """
+    grid_h, grid_w = -(-h // tile_h), -(-w // tile_w)
+    num_tiles = grid_h * grid_w
+    n = opacity.shape[0]
+    n_chan = colors.shape[-1]
+    k_cap = max_tiles_per_gaussian
+
+    tile_key, _, n_dropped_rect = emit_pairs(proj, tile_h, tile_w,
+                                             grid_h, grid_w, k_cap)
+
+    def bcast(v):
+        return jnp.broadcast_to(v[None, :], (k_cap, n)).reshape(-1)
+
+    geom = (bcast(proj.x2d), bcast(proj.y2d), bcast(proj.conic_a),
+            bcast(proj.conic_b), bcast(proj.conic_c), bcast(opacity))
+    depth = bcast(proj.depth)
+    colors_t = colors.T                            # (C, N) one relayout pass
+    chan = tuple(bcast(colors_t[c]) for c in range(n_chan))
+    pos = lax.broadcasted_iota(jnp.int32, (1, k_cap * n), 1)[0]
+
+    composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
+                                n_chan)
+    raw = composite(tile_key, depth, pos, geom, chan)
+
+    alpha_t = raw[..., n_chan + 1]
+    depth_t = raw[..., n_chan]
+    chan_t = raw[..., :n_chan] + (1.0 - alpha_t[..., None]) * bg
+    channels = _untile(chan_t, grid_h, grid_w, tile_h, tile_w, h, w, n_chan)
+    depth_img = _untile(depth_t[..., None], grid_h, grid_w, tile_h, tile_w,
+                        h, w, 1)[..., 0]
+    alpha_img = _untile(alpha_t[..., None], grid_h, grid_w, tile_h, tile_w,
+                        h, w, 1)[..., 0]
+    return channels, depth_img, alpha_img, n_dropped_rect
