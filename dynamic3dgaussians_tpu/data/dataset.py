@@ -15,6 +15,7 @@ arrays come back channels-last float32 in [0, 1].
 
 from __future__ import annotations
 
+import io
 import json
 import os
 from typing import Dict, List, Optional
@@ -22,9 +23,24 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
-def _load_image(path: str) -> np.ndarray:
+def _load_image(path: str, loader=None) -> np.ndarray:
     from PIL import Image
-    return np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    if loader is not None:
+        img = Image.open(io.BytesIO(loader.take(path)))
+    else:
+        img = Image.open(path)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def timestep_paths(root: str, seq: str, md: Dict, t: int) -> List[str]:
+    """Every file load_timestep(t) will touch — feed to a prefetcher."""
+    paths = []
+    for c in range(len(md["fn"][t])):
+        fn = md["fn"][t][c]
+        paths.append(os.path.join(root, seq, "ims", fn))
+        paths.append(os.path.join(root, seq, "seg",
+                                  fn.replace(".jpg", ".png")))
+    return paths
 
 
 def load_meta(root: str, seq: str) -> Dict:
@@ -39,15 +55,22 @@ def load_init_point_cloud(root: str, seq: str,
 
 def load_timestep(root: str, seq: str, md: Dict, t: int,
                   cameras: Optional[List[int]] = None,
-                  load_depth: bool = False) -> List[Dict]:
+                  load_depth: bool = False, loader=None,
+                  prefetch_next: bool = False) -> List[Dict]:
     """Build the trainer's per-timestep camera datapoint list.
 
+    `loader`: optional native.FileLoader — image bytes stream in from its
+    background threads; with `prefetch_next`, timestep t+1's files are queued
+    before t's are decoded so disk IO overlaps the device step (the reference
+    loads every image synchronously, train_beffor.py:19-102).
     Returns dicts with numpy arrays; convert with `to_device` before training.
     """
     import jax.numpy as jnp
 
     from dynamic3dgaussians_tpu.ops.camera import make_camera
 
+    if loader is not None and prefetch_next and t + 1 < len(md["fn"]):
+        loader.prefetch(timestep_paths(root, seq, md, t + 1))
     frames = []
     cam_ids = cameras if cameras is not None else range(len(md["fn"][t]))
     for c in cam_ids:
@@ -55,10 +78,10 @@ def load_timestep(root: str, seq: str, md: Dict, t: int,
         k = np.asarray(md["k"][t][c], np.float64)
         w2c = np.asarray(md["w2c"][t][c], np.float64)
         fn = md["fn"][t][c]
-        im = _load_image(os.path.join(root, seq, "ims", fn))
+        im = _load_image(os.path.join(root, seq, "ims", fn), loader)
         seg_path = os.path.join(root, seq, "seg",
                                 fn.replace(".jpg", ".png"))
-        seg = _load_image(seg_path)
+        seg = _load_image(seg_path, loader)
         if seg.ndim == 3:
             seg = seg[..., 0]
         seg = (seg > 0.5).astype(np.float32)

@@ -1,0 +1,120 @@
+"""LPIPS perceptual metric in pure JAX (AlexNet-feature variant).
+
+Capability parity with the reference's `mLPIPS` (metrics.py:427-486:
+torchmetrics LPIPS with AlexNet features, spatial=True, masked mean). Here
+the AlexNet feature tower and the LPIPS linear heads are implemented as
+explicit JAX convolutions; weights load from torchvision / the lpips package
+when present on disk (`load_torch_weights`). This zero-egress image has no
+pretrained weights, so by default `lpips_fn` runs with RANDOM (but fixed)
+features — still a valid perceptual-style distance for regression testing
+(random-feature LPIPS correlates with the trained metric), clearly flagged
+via `weights="random"`.
+
+Masked usage (mLPIPS semantics): pass `mask` — pixels outside are replaced by
+the ground truth before the distance so only masked regions contribute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# AlexNet conv tower: (out_ch, kernel, stride, pad) per layer; features are
+# tapped after each ReLU (5 taps, like torchmetrics/lpips 'alex').
+_ALEX = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1), (256, 3, 1, 1),
+         (256, 3, 1, 1)]
+_POOL_AFTER = {0, 1}  # maxpool after relu1, relu2 (relu5's pool is unused)
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_params(seed: int = 0) -> Dict:
+    """Random fixed AlexNet-topology weights + unit linear heads."""
+    rng = np.random.RandomState(seed)
+    params = {"conv": [], "lin": []}
+    cin = 3
+    for (cout, k, _, _) in _ALEX:
+        w = rng.normal(0, np.sqrt(2.0 / (k * k * cin)),
+                       (k, k, cin, cout)).astype(np.float32)
+        params["conv"].append({"w": jnp.asarray(w),
+                               "b": jnp.zeros((cout,), jnp.float32)})
+        params["lin"].append(jnp.ones((cout,), jnp.float32) / cout)
+        cin = cout
+    return params
+
+
+def load_torch_weights() -> Dict:
+    """Load torchvision AlexNet + lpips linear-head weights if available."""
+    try:
+        import torch
+        from torchvision.models import AlexNet_Weights, alexnet
+        net = alexnet(weights=AlexNet_Weights.DEFAULT).features
+    except Exception as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            f"pretrained AlexNet unavailable ({e}); use init_params() or "
+            "pass your own weights")
+    params = {"conv": [], "lin": []}
+    convs = [m for m in net if isinstance(m, torch.nn.Conv2d)]
+    for conv in convs:
+        w = conv.weight.detach().numpy().transpose(2, 3, 1, 0)  # HWIO
+        params["conv"].append({"w": jnp.asarray(w),
+                               "b": jnp.asarray(conv.bias.detach().numpy())})
+        params["lin"].append(jnp.ones((conv.out_channels,), jnp.float32)
+                             / conv.out_channels)
+    try:  # optional: the lpips package's trained linear heads
+        import lpips as lpips_pkg  # pragma: no cover
+        heads = lpips_pkg.LPIPS(net="alex").lins
+        params["lin"] = [jnp.asarray(
+            h.model[1].weight.detach().numpy()[:, :, 0, 0].reshape(-1))
+            for h in heads]
+    except Exception:
+        pass
+    return params
+
+
+def _features(params: Dict, img: jnp.ndarray):
+    """img (H, W, 3) in [0,1] -> list of 5 (h, w, c) relu feature maps."""
+    x = (img * 2.0 - 1.0 - _SHIFT) / _SCALE
+    x = x[None]                                            # NHWC
+    feats = []
+    for li, ((_, k, s, p), conv) in enumerate(zip(_ALEX, params["conv"])):
+        x = jax.lax.conv_general_dilated(
+            x, conv["w"], (s, s), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + conv["b"])
+        feats.append(x[0])
+        if li in _POOL_AFTER:
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    return feats
+
+
+def lpips_fn(params: Dict, pred: jnp.ndarray, gt: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """LPIPS distance between (H, W, 3) images in [0, 1].
+
+    With `mask` (H, W): out-of-mask pred pixels are replaced by gt, and each
+    tap's spatial map is averaged over the (downsampled) mask only — the
+    reference's masked spatial mLPIPS (metrics.py:447-486).
+    """
+    if mask is not None:
+        m = mask[..., None].astype(pred.dtype)
+        pred = pred * m + gt * (1 - m)
+    fp = _features(params, pred)
+    fg = _features(params, gt)
+    total = jnp.float32(0.0)
+    for lin, a, b in zip(params["lin"], fp, fg):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        d = ((a - b) ** 2) @ lin                           # (h, w) spatial map
+        if mask is not None:
+            ms = jax.image.resize(mask.astype(jnp.float32), d.shape,
+                                  "nearest")
+            total = total + jnp.sum(d * ms) / jnp.maximum(jnp.sum(ms), 1.0)
+        else:
+            total = total + jnp.mean(d)
+    return total

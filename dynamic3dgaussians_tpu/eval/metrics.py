@@ -138,3 +138,47 @@ def lpips(pred, gt, feature_fn: Optional[Callable] = None) -> jnp.ndarray:
         b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
         dists.append(jnp.mean(jnp.sum((a - b) ** 2, axis=-1)))
     return jnp.mean(jnp.stack(dists))
+
+
+def unproject_image(depth: jnp.ndarray, k: jnp.ndarray,
+                    c2w: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Lift a (H, W) depth map to (H, W, 3) points (metrics.py:131-170).
+
+    `depth` is view-space z; `k` the (3, 3) intrinsics; optional `c2w` maps
+    the rays to world space.
+    """
+    h, w = depth.shape
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    x = (px - k[0, 2]) / k[0, 0] * depth
+    y = (py - k[1, 2]) / k[1, 1] * depth
+    pts = jnp.stack([x, y, depth], axis=-1)
+    if c2w is not None:
+        pts = pts @ c2w[:3, :3].T + c2w[:3, 3]
+    return pts
+
+
+def reproject_points(pts_world: jnp.ndarray, k: jnp.ndarray,
+                     w2c: jnp.ndarray):
+    """World points -> (pixel xy, view z) under another camera
+    (metrics.py:172-195)."""
+    pv = pts_world @ w2c[:3, :3].T + w2c[:3, 3]
+    z = jnp.maximum(pv[..., 2], 1e-8)
+    u = pv[..., 0] / z * k[0, 0] + k[0, 2]
+    v = pv[..., 1] / z * k[1, 1] + k[1, 2]
+    return jnp.stack([u, v], axis=-1), pv[..., 2]
+
+
+def depth_abs_rel_reprojected(pred_depth: jnp.ndarray,
+                              gt_depth: jnp.ndarray,
+                              k: jnp.ndarray,
+                              mask: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
+    """Reference-style depth abs-rel through point-cloud reprojection
+    (metrics.py:131-213): unproject the prediction, reproject into the SAME
+    camera (identity relative pose for monocular eval) and compare the view-z
+    against GT where GT is valid."""
+    pts = unproject_image(pred_depth, k)
+    _, z = reproject_points(pts, k, jnp.eye(4))
+    return depth_abs_rel(z, gt_depth, mask)

@@ -87,3 +87,66 @@ def coefs_from_features(features: jnp.ndarray, num_bases: int,
     centers, _ = kmeans(features, num_bases, key)
     d = jnp.linalg.norm(features[:, None] - centers[None], axis=-1)
     return scale * jnp.exp(-d)
+
+
+def spectral_cluster(features: jnp.ndarray, k: int, key: jax.Array,
+                     sample: int = 2048, kmeans_iters: int = 25
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spectral clustering on cosine similarity (motion_utils.py:57-162).
+
+    The reference runs sklearn SpectralClustering(K=49) on the cosine
+    similarity of per-gaussian DINOv2 features; this is the same pipeline in
+    JAX: normalized graph Laplacian of the (sampled) cosine-affinity matrix,
+    top-k eigenvectors, k-means in the spectral embedding, then assignment of
+    ALL points to the nearest spectral center through the Nystrom-style
+    feature->embedding map.
+
+    Returns (centers (k, D) in FEATURE space, labels (N,)). Centers in
+    feature space keep `coefs_from_features`-style distance maps usable.
+    """
+    n = features.shape[0]
+    f = features / jnp.maximum(
+        jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-8)
+    if n > sample:
+        idx = jax.random.choice(key, n, (sample,), replace=False)
+        fs = f[idx]
+    else:
+        fs = f
+    m = fs.shape[0]
+    # cosine affinity shifted to [0, 1]
+    a = (fs @ fs.T + 1.0) * 0.5
+    d = jnp.sum(a, axis=-1)
+    dinv = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-8))
+    lap = jnp.eye(m) - dinv[:, None] * a * dinv[None, :]
+    eigval, eigvec = jnp.linalg.eigh(lap)          # ascending
+    emb = eigvec[:, :k]                            # smallest-k eigenvectors
+    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                            1e-8)
+    centers_emb, labels_s = kmeans(emb, k, key, iters=kmeans_iters)
+    # map every (possibly unsampled) point into the embedding via its
+    # affinity to the sampled set (Nystrom extension), then assign
+    a_all = (f @ fs.T + 1.0) * 0.5                 # (N, m)
+    emb_all = a_all @ emb / jnp.maximum(
+        jnp.sum(a_all, axis=-1, keepdims=True), 1e-8)
+    emb_all = emb_all / jnp.maximum(
+        jnp.linalg.norm(emb_all, axis=-1, keepdims=True), 1e-8)
+    d2 = jnp.sum((emb_all[:, None] - centers_emb[None]) ** 2, axis=-1)
+    labels = jnp.argmin(d2, axis=-1)
+    one_hot = jax.nn.one_hot(labels, k, dtype=f.dtype)
+    counts = jnp.maximum(one_hot.sum(0), 1.0)
+    centers_feat = (one_hot.T @ features) / counts[:, None]
+    return centers_feat, labels
+
+
+def coefs_from_feature_clusters(features: jnp.ndarray, num_bases: int,
+                                key: jax.Array, scale: float = 10.0,
+                                method: str = "spectral") -> jnp.ndarray:
+    """Reference feature_bases coefficient init (motion_utils.py:150-162):
+    cluster features (spectral or k-means), coefs = scale*exp(-dist2centers).
+    """
+    if method == "spectral":
+        centers, _ = spectral_cluster(features, num_bases, key)
+    else:
+        centers, _ = kmeans(features, num_bases, key)
+    d = jnp.linalg.norm(features[:, None] - centers[None], axis=-1)
+    return scale * jnp.exp(-d)

@@ -23,11 +23,13 @@ but mapped to TPU hardware instead of translated:
   * early termination when every pixel's transmittance is dead
     (forward.cu:367-371's per-pixel `done`, lifted to tile granularity).
 
-Outputs the raw accumulator (channels..., depth, alpha) per tile pixel;
-background compositing / untiling stay in XLA. The backward pass is the
-hand-written Pallas kernel in raster_bwd.py (race-free and deterministic
-where the CUDA backward needs atomicAdd — SURVEY.md §5.2), wired up via
-jax.custom_vjp in ops/sorted_raster.py.
+Besides the raw accumulator (channels..., depth, alpha) the kernel outputs
+the per-pixel LOG transmittance and the number of chunks actually processed
+— exactly the state the backward kernel (raster_bwd.py) needs to replay the
+walk in reverse without a second forward pass and without the
+`T_final = 1 - alpha` cancellation the CUDA backward suffers
+(backward.cu:484). Background compositing / untiling stay in XLA; the
+custom_vjp wiring lives in ops/sorted_raster.py.
 """
 
 from __future__ import annotations
@@ -43,6 +45,18 @@ from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 
 GEOM_ROWS = 8  # [x, y, conic_a, conic_b, conic_c, opacity, pad, pad]
 T_DEAD = 1e-4  # early-termination threshold (forward.cu:367-371)
+LOG_T_DEAD = -9.210340371976182  # log(T_DEAD)
+
+
+def tile_pixel_coords(i, grid_w, tile_h, tile_w):
+    """(P, 1) pixel-center coordinates of tile i (row-major tiles/pixels)."""
+    p = tile_h * tile_w
+    ty = (i // grid_w).astype(jnp.float32)
+    tx = (i % grid_w).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * tile_w + (lin % tile_w).astype(jnp.float32)
+    py = ty * tile_h + (lin // tile_w).astype(jnp.float32)
+    return px, py
 
 
 def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
@@ -64,19 +78,9 @@ def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
 
 
-def tile_pixel_coords(i, grid_w, tile_h, tile_w):
-    """(P, 1) pixel-center coordinates of tile i (row-major tiles/pixels)."""
-    p = tile_h * tile_w
-    ty = (i // grid_w).astype(jnp.float32)
-    tx = (i % grid_w).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tx * tile_w + (lin % tile_w).astype(jnp.float32)
-    py = ty * tile_h + (lin // tile_w).astype(jnp.float32)
-    return px, py
-
-
-def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
-            geom_vmem, vals_vmem, t_scr, acc_scr, sems,
+def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm,
+            out_ref, logt_ref, nact_ref,
+            geom_vmem, vals_vmem, logt_scr, acc_scr, sems,
             *, chunk, tile_h, tile_w, grid_w, n_val):
     i = pl.program_id(0)
     start = starts_ref[i]
@@ -87,8 +91,9 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
     p = tile_h * tile_w
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
 
-    t_scr[:] = jnp.ones((p, 1), jnp.float32)
+    logt_scr[:] = jnp.zeros((p, 1), jnp.float32)
     acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
+    nact_ref[0] = jnp.zeros((1, 1), jnp.int32)
 
     # strictly-upper-triangular ones: exclusive prefix along the chunk axis
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -110,7 +115,7 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
             dma.start()
 
         def cond(k):
-            return (k < n_chunks) & (jnp.max(t_scr[:]) > T_DEAD)
+            return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG_T_DEAD)
 
         def body(k):
             slot = k % 2
@@ -131,17 +136,21 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
                 logs, upper, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)   # (P, G)
-            tw = jnp.exp(cum_excl) * t_scr[:]          # (P, G)
+            # transmittance kept purely in log space: exact under heavy
+            # occlusion (no 1-alpha cancellation) and bitwise identical to
+            # the backward kernel's reconstruction.
+            tw = jnp.exp(cum_excl + logt_scr[:])       # (P, G)
             w = alpha * tw
             acc_scr[:] += jax.lax.dot_general(
                 w, vals_vmem[slot], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)   # (P, CV)
-            t_scr[:] = (tw[:, chunk - 1:chunk]
-                        * (1.0 - alpha[:, chunk - 1:chunk]))
+            logt_scr[:] += (cum_excl[:, chunk - 1:chunk]
+                            + logs[:, chunk - 1:chunk])
             return k + 1
 
         k_stop = jax.lax.while_loop(cond, body, jnp.int32(0))
+        nact_ref[0] = jnp.full((1, 1), k_stop, jnp.int32)
 
         # Drain the dangling prefetch on early termination: chunk k_stop's
         # DMAs were started by the last body iteration but never waited; a
@@ -152,6 +161,7 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm, out_ref,
                 dma.wait()
 
     out_ref[0] = acc_scr[:]
+    logt_ref[0] = logt_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
@@ -160,7 +170,7 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
                            tile_starts: jnp.ndarray,
                            tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
-                           chunk: int = 128) -> jnp.ndarray:
+                           chunk: int = 128):
     """Run the forward tile kernel.
 
     Args:
@@ -173,8 +183,10 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
       tile_starts / tile_counts: (num_tiles,) int32 segment per tile.
 
     Returns:
-      (num_tiles, tile_h*tile_w, CV) raw accumulators; channel CV-1 is the
-      accumulated alpha (T_final = 1 - alpha exactly, by telescoping).
+      raw:      (num_tiles, P, CV) accumulators; channel CV-1 is the
+                accumulated alpha (T_final = 1 - alpha by telescoping).
+      log_t:    (num_tiles, P, 1) final per-pixel log-transmittance.
+      n_active: (num_tiles, 1, 1) chunks processed before early termination.
     """
     p = tile_h * tile_w
     assert p % 8 == 0, "pallas path needs tile_h*tile_w % 8 == 0"
@@ -190,8 +202,14 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, p, n_val), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, p, n_val), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, n_val, chunk), jnp.float32),
@@ -205,6 +223,8 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, p, n_val), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, n_val), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, 1, 1), jnp.int32)],
         interpret=interpret,
     )(tile_starts, tile_counts, geom_t, vals_t)

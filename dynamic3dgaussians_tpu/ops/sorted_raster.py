@@ -73,26 +73,31 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     def composite(tile_key, depth, pos, geom, chan):
         geom_t, vals_t, _, starts, counts = _prepare(tile_key, depth, pos,
                                                      geom, chan)
-        return pallas_composite_tiles(geom_t, vals_t, starts, counts, **kw)
+        raw, _, _ = pallas_composite_tiles(geom_t, vals_t, starts, counts,
+                                           **kw)
+        return raw
 
     def composite_fwd(tile_key, depth, pos, geom, chan):
         geom_t, vals_t, spos, starts, counts = _prepare(tile_key, depth, pos,
                                                         geom, chan)
-        raw = pallas_composite_tiles(geom_t, vals_t, starts, counts, **kw)
-        return raw, (geom_t, vals_t, spos, starts, counts)
+        raw, log_t, n_active = pallas_composite_tiles(geom_t, vals_t, starts,
+                                                      counts, **kw)
+        return raw, (geom_t, vals_t, spos, starts, counts, log_t, n_active)
 
     def composite_bwd(res, d_raw):
-        geom_t, vals_t, spos, starts, counts = res
-        d_geom_t, d_vals_t = pallas_composite_tiles_bwd(
-            geom_t, vals_t, starts, counts, d_raw, **kw)
+        geom_t, vals_t, spos, starts, counts, log_t, n_active = res
+        d_out = pallas_composite_tiles_bwd(
+            geom_t, vals_t, starts, counts, n_active.reshape(-1), log_t,
+            d_raw, **kw)
         ne = spos.shape[0]
         # Slots past the last real pair were never written by the kernel.
         n_real = starts[num_tiles - 1] + counts[num_tiles - 1]
         live = lax.broadcasted_iota(jnp.int32, (1, ne), 1)[0] < n_real
         z = jnp.zeros((), jnp.float32)
-        d_rows = [jnp.where(live, d_geom_t[r, :ne], z) for r in range(6)]
-        d_rows += [jnp.where(live, d_vals_t[n_chan, :ne], z)]  # depth row
-        d_rows += [jnp.where(live, d_vals_t[c, :ne], z)
+        from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import GEOM_ROWS
+        d_rows = [jnp.where(live, d_out[r, :ne], z) for r in range(6)]
+        d_rows += [jnp.where(live, d_out[GEOM_ROWS + n_chan, :ne], z)]  # depth
+        d_rows += [jnp.where(live, d_out[GEOM_ROWS + c, :ne], z)
                    for c in range(n_chan)]
         un = lax.sort((spos,) + tuple(d_rows), num_keys=1, is_stable=False)
         d_geom = tuple(un[1:7])

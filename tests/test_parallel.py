@@ -89,3 +89,33 @@ def test_pixel_sharded_render_matches(world):
     sharded_rgb = fn(*args)
     np.testing.assert_allclose(np.asarray(sharded_rgb),
                                np.asarray(plain.rgb), atol=1e-5)
+
+
+def test_depth_sharded_render_matches_single_device():
+    import jax
+    from jax.sharding import Mesh
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.parallel.gaussian_shard import (
+        make_depth_sharded_render)
+    from tests.scenes import lookat_camera, random_scene
+
+    cam, _, _ = lookat_camera(w=48, h=32, f=40.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(120, seed=7)
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=64,
+                       max_tiles_per_gaussian=32, max_per_tile=512,
+                       pairs_per_gaussian=32)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    single = render(cam, *args, config=cfg, bg=bg, method="tiled")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    sharded_fn = make_depth_sharded_render(cam, mesh, axis="model",
+                                           config=cfg, method="tiled")
+    out = sharded_fn(*args, bg=bg)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(single.rgb), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.asarray(single.alpha), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(single.depth), atol=1e-3,
+                               rtol=1e-4)
