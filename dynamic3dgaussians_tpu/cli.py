@@ -67,12 +67,17 @@ def cmd_train(args):
                                                  num_cams=args.num_cams)
         pt_cld = synthetic.init_point_cloud(scene)
     else:
+        from dynamic3dgaussians_tpu import native
         from dynamic3dgaussians_tpu.data import dataset as D
         md = D.load_meta(args.data_root, args.seq)
         cfg.num_timesteps = min(cfg.num_timesteps, len(md["fn"]))
-        dataset = [D.load_timestep(args.data_root, args.seq, md, t,
-                                   load_depth=args.load_depth)
-                   for t in range(cfg.num_timesteps)]
+        loader = native.FileLoader() if native.available() else None
+
+        def dataset(t, _md=md):  # lazy per-timestep stream + IO prefetch
+            return D.load_timestep(args.data_root, args.seq, _md, t,
+                                   load_depth=args.load_depth, loader=loader,
+                                   prefetch_next=True)
+
         pt_cld = D.load_init_point_cloud(args.data_root, args.seq)
         w2c = D.scene_w2c_stack(md)
 

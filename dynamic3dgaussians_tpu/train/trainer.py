@@ -223,7 +223,9 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
 
     Args:
       dataset: dataset[t] = list of camera datapoints (dicts as in
-        compute_loss) for timestep t.
+        compute_loss) for timestep t — either a materialized list or a
+        callable `t -> frames` for lazy/streamed loading (pair it with
+        native.FileLoader prefetching so disk IO overlaps device steps).
       cfg: TrainConfig.
       pt_cld: (N, 7) initial point cloud [xyz, rgb, seg].
       w2c_stack: (C, 4, 4) t=0 camera extrinsics (scene radius estimate).
@@ -270,10 +272,11 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
             lrs[k] = jnp.float32(base)
         return lrs
 
+    get_t = dataset if callable(dataset) else dataset.__getitem__
     output_params = []
     for t in range(cfg.num_timesteps):
         is_initial = t == 0
-        data_t = dataset[t]
+        data_t = get_t(t)
         if t < resume_t:
             continue  # resumed past this timestep (output_params of skipped
             # timesteps must be rebuilt from the npz checkpoint by the caller)
