@@ -23,6 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dynamic3dgaussians_tpu.utils.compile_cache import enable as \
+        enable_compile_cache
+    enable_compile_cache()
+
     from dynamic3dgaussians_tpu.ops.camera import make_camera
     from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
 
@@ -41,8 +45,10 @@ def main():
     w2c[2, 3] = 6.0
     f = 500.0
     cam = make_camera(w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c)
+    # K=4 emission is lossless for this scene (n_dropped_rect == 0 and the
+    # image is bit-identical to K=16) and cuts the pair sort nearly in half.
     cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128,
-                       max_tiles_per_gaussian=8)
+                       max_tiles_per_gaussian=4)
 
     args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
 

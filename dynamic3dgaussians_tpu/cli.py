@@ -148,6 +148,9 @@ def cmd_evaluate(args):
 
 
 def main(argv=None):
+    from dynamic3dgaussians_tpu.utils.compile_cache import enable as \
+        enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="dynamic3dgaussians_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -217,3 +217,36 @@ def load_semantic_sidecar(image_path: str) -> Optional[np.ndarray]:
     (the reference loads .pt sidecars, dataset_readers.py:93-96)."""
     p = os.path.splitext(image_path)[0] + ".npy"
     return np.load(p) if os.path.exists(p) else None
+
+
+def convert_bin_to_txt(sparse_dir: str, out_dir: str = None) -> str:
+    """COLMAP binary model -> text model (reference utils/dec_bin_2_txt.py).
+
+    Writes cameras.txt / images.txt / points3D.txt next to (or instead of)
+    the .bin files in COLMAP's documented text format.
+    """
+    out_dir = out_dir or sparse_dir
+    os.makedirs(out_dir, exist_ok=True)
+    cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
+    imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+    xyz, rgb = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
+    with open(os.path.join(out_dir, "cameras.txt"), "w") as f:
+        f.write("# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]\n")
+        for cid, c in cams.items():
+            params = " ".join(repr(float(p)) for p in c.params)
+            f.write(f"{cid} {c.model} {c.width} {c.height} {params}\n")
+    with open(os.path.join(out_dir, "images.txt"), "w") as f:
+        f.write("# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID "
+                "NAME\n#   (2D points omitted)\n")
+        for iid, im in enumerate(imgs, start=1):
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{iid} {q} {t} {im.camera_id} {im.name}\n\n")
+    rgb255 = np.clip(rgb * 255.0, 0, 255).astype(np.int64)
+    with open(os.path.join(out_dir, "points3D.txt"), "w") as f:
+        f.write("# 3D point list: POINT3D_ID X Y Z R G B ERROR (TRACK[] "
+                "omitted)\n")
+        for i in range(xyz.shape[0]):
+            f.write(f"{i + 1} {float(xyz[i, 0])!r} {float(xyz[i, 1])!r} {float(xyz[i, 2])!r} "
+                    f"{rgb255[i, 0]} {rgb255[i, 1]} {rgb255[i, 2]} 0.0\n")
+    return out_dir

@@ -142,3 +142,36 @@ def physics_losses(act_means: jnp.ndarray, act_rots: jnp.ndarray,
     col_term = jnp.sum(jnp.abs(rgb_colors - variables["prev_col"]), axis=-1)
     losses["soft_col_cons"] = masked_mean(col_term, alive)
     return losses
+
+
+def tv_loss(img) -> jnp.ndarray:
+    """Total-variation smoothness (reference utils/loss_utils.py:60-77)."""
+    dh = jnp.mean(jnp.abs(img[1:, :] - img[:-1, :]))
+    dw = jnp.mean(jnp.abs(img[:, 1:] - img[:, :-1]))
+    return dh + dw
+
+
+def masked_image_loss(pred, gt, mask, l1_weight: float = 0.8):
+    """Image loss over masked pixels only (the ego trainer's antimask /
+    triangular-mask compositing, train.py:167-178): out-of-mask pixels are
+    replaced by gt so both the L1 and the SSIM window see zero error there."""
+    m = mask[..., None].astype(pred.dtype) if mask.ndim == pred.ndim - 1 \
+        else mask.astype(pred.dtype)
+    comp = pred * m + gt * (1.0 - m)
+    return image_loss(comp, gt, l1_weight)
+
+
+def depth_l1_loss(pred_depth, gt_depth, alpha=None, mask=None):
+    """Plain L1 depth loss (the held-out stat-camera depth term,
+    train.py:186-241); un-premultiplies by alpha when given."""
+    d = pred_depth if alpha is None else pred_depth / jnp.maximum(alpha, 1e-6)
+    valid = gt_depth > 1e-6
+    if mask is not None:
+        valid = valid & (mask > 0.5)
+    return masked_mean(jnp.abs(d - gt_depth), valid)
+
+
+def disparity_pearson_loss(pred_depth, gt_depth, alpha=None):
+    """Pearson on disparities (ssd_train.py:317-327 --loss_type pearson)."""
+    d = pred_depth if alpha is None else pred_depth / jnp.maximum(alpha, 1e-6)
+    return 1.0 - pearson_corrcoef(1.0 / (d + 1e-6), 1.0 / (gt_depth + 1e-6))
