@@ -98,3 +98,39 @@ def spiral_path(base_cam: Camera, n: int = 120, rads=(0.3, 0.3, 0.1),
                                 np.linalg.inv(new_c2w), base_cam.near,
                                 base_cam.far))
     return cams
+
+
+def spherify_path(cams: List[Camera], n: int = 120) -> List[Camera]:
+    """Spherified render path (reference pose_utils.py:78-125): fit the
+    sphere through the input camera centers, then orbit it looking at the
+    center at the mean elevation."""
+    c2ws = [np.linalg.inv(np.asarray(c.w2c)) for c in cams]
+    centers = np.stack([m[:3, 3] for m in c2ws])
+    center = centers.mean(0)
+    radius = max(float(np.linalg.norm(centers - center, axis=-1).mean()),
+                 1e-6)
+    up = -np.stack([m[:3, 1] for m in c2ws]).mean(0)
+    up = up / np.linalg.norm(up)
+    elev = float(np.mean((centers - center) @ up) / radius)
+    base = cams[0]
+    k = np.array([[float(base.fx), 0, float(base.cx)],
+                  [0, float(base.fy), float(base.cy)], [0, 0, 1]])
+    # orthonormal frame around `up`
+    a = np.array([1.0, 0, 0])
+    if abs(a @ up) > 0.9:
+        a = np.array([0, 0, 1.0])
+    u = np.cross(up, a); u /= np.linalg.norm(u)
+    v = np.cross(up, u)
+    out = []
+    for th in np.linspace(0, 2 * np.pi, n + 1)[:-1]:
+        pos = center + radius * (np.cos(th) * u + np.sin(th) * v
+                                 + elev * up)
+        z = center - pos
+        z = z / np.linalg.norm(z)
+        x = np.cross(-up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos
+        out.append(make_camera(base.width, base.height, k,
+                               np.linalg.inv(c2w), base.near, base.far))
+    return out

@@ -154,3 +154,43 @@ def test_viz_roundtrip(tmp_path):
     assert segs.shape[1:] == (2, 3) and segs.shape[0] > 0
     d = VR.colormap_depth(np.ones((8, 8)), np.ones((8, 8)))
     assert d.shape == (8, 8, 3)
+
+def test_spherify_and_spiral_paths():
+    from dynamic3dgaussians_tpu.utils.pose_utils import (spherify_path,
+                                                         spiral_path)
+    from tests.scenes import lookat_camera
+    cams = [lookat_camera(w=32, h=24, f=30.0, dist=3.0 + 0.2 * i)[0]
+            for i in range(4)]
+    sp = spherify_path(cams, n=12)
+    assert len(sp) == 12
+    # all spherified cameras sit at equal distance from the scene center
+    import numpy as np
+    centers = [np.linalg.inv(np.asarray(c.w2c))[:3, 3] for c in sp]
+    d = [np.linalg.norm(c - np.mean(centers, 0)) for c in centers]
+    assert np.std(d) / np.mean(d) < 0.35
+    assert len(spiral_path(cams[0], n=10)) == 10
+
+
+def test_mark_visible_and_debug_render(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamic3dgaussians_tpu.ops.debug import mark_visible, render_debug
+    from tests.scenes import lookat_camera, random_scene
+    cam, _, _ = lookat_camera(w=32, h=32, f=30.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(40, seed=0)
+    vis = mark_visible(cam, jnp.asarray(means))
+    assert bool(vis.any())
+    behind = jnp.asarray(means) - jnp.asarray([0.0, 0.0, 10.0])
+    assert not bool(mark_visible(cam, behind).any())
+    out, ok = render_debug(cam, jnp.asarray(means), jnp.asarray(colors),
+                           jnp.asarray(opac), jnp.asarray(scales),
+                           jnp.asarray(quats),
+                           snapshot_path=str(tmp_path / "snap.npz"))
+    assert ok and out.rgb.shape == (32, 32, 3)
+    # force a bad input -> snapshot dump
+    bad = jnp.asarray(means).at[0].set(jnp.nan)
+    out, ok = render_debug(cam, bad, jnp.asarray(colors), jnp.asarray(opac),
+                           jnp.asarray(scales), jnp.asarray(quats),
+                           snapshot_path=str(tmp_path / "snap.npz"))
+    import os
+    assert os.path.exists(tmp_path / "snap.npz") or ok
