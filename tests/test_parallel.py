@@ -119,3 +119,32 @@ def test_depth_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["depth"]),
                                np.asarray(single.depth), atol=1e-3,
                                rtol=1e-4)
+
+
+def test_tile_sharded_render_matches_single_device():
+    import jax
+    from jax.sharding import Mesh
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.parallel.tile_shard import (
+        make_tile_sharded_render)
+    from tests.scenes import lookat_camera, random_scene
+
+    # 64x64 -> 4 tile rows, shard over 4 devices
+    cam, _, _ = lookat_camera(w=64, h=64, f=50.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(100, seed=9)
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=64,
+                       max_tiles_per_gaussian=32, max_per_tile=512,
+                       pairs_per_gaussian=32)
+    bg = jnp.asarray([0.05, 0.1, 0.15])
+    single = render(cam, *args, config=cfg, bg=bg, method="pallas")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    fn = make_tile_sharded_render(cam, mesh, axis="x", config=cfg)
+    out = fn(*args, bg=bg)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(single.rgb), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.asarray(single.alpha), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(single.depth), atol=1e-3,
+                               rtol=1e-4)
