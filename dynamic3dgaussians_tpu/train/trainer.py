@@ -120,6 +120,9 @@ def make_train_step(cfg: TrainConfig, rcfg: RasterConfig):
                "n_dropped": jnp.sum(auxs["n_dropped"])}
         return jnp.mean(losses), aux
 
+    # NOTE: no donate_argnums — params/moments are small next to the
+    # rendering activations, and donation deletes caller-held buffers
+    # (checkpoint saves are async; users naturally reuse params).
     @functools.partial(jax.jit, static_argnames=("is_initial",))
     def train_step(params, opt_state, variables, batch, lrs,
                    is_initial: bool):
@@ -161,12 +164,15 @@ def initialize_per_timestep(params: Dict, variables: Dict,
     safe_idx = jnp.maximum(idx, 0)
     prev_offset = pts[safe_idx] - pts[:, None, :]
 
+    # explicit device copies: train_step donates its inputs, so variables
+    # must never alias params' buffers (or each other)
+    cp = lambda x: jnp.array(x, copy=True)
     new_vars = dict(variables)
-    new_vars["prev_inv_rot"] = jax.lax.stop_gradient(quat.conjugate(rot))
-    new_vars["prev_offset"] = jax.lax.stop_gradient(prev_offset)
-    new_vars["prev_col"] = jax.lax.stop_gradient(params["rgb_colors"])
-    new_vars["prev_pts"] = jax.lax.stop_gradient(new_pts)
-    new_vars["prev_rot"] = jax.lax.stop_gradient(new_rot)
+    new_vars["prev_inv_rot"] = quat.conjugate(rot)
+    new_vars["prev_offset"] = prev_offset
+    new_vars["prev_col"] = cp(params["rgb_colors"])
+    new_vars["prev_pts"] = cp(new_pts)
+    new_vars["prev_rot"] = cp(new_rot)
 
     new_params = dict(params)
     new_params["means3D"] = new_pts
@@ -194,10 +200,12 @@ def initialize_post_first_timestep(params: Dict, variables: Dict,
     new_vars["neighbor_weight"] = jnp.exp(-cfg.knn_weight_beta * sq_dist)
     new_vars["neighbor_dist"] = jnp.sqrt(sq_dist)
     rot = quat.normalize(params["unnorm_rotations"])
-    new_vars["init_bg_pts"] = params["means3D"]
-    new_vars["init_bg_rot"] = rot
-    new_vars["prev_pts"] = params["means3D"]
-    new_vars["prev_rot"] = rot
+    # distinct device copies — see donation note in initialize_per_timestep
+    cp = lambda x: jnp.array(x, copy=True)
+    new_vars["init_bg_pts"] = cp(params["means3D"])
+    new_vars["init_bg_rot"] = cp(rot)
+    new_vars["prev_pts"] = cp(params["means3D"])
+    new_vars["prev_rot"] = cp(rot)
     return new_vars
 
 
