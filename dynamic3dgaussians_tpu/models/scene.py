@@ -1,0 +1,168 @@
+"""OO Scene: dataset + GaussianModel container (reference scene/__init__.py).
+
+The 3DGS-style entry object (SURVEY.md P6): owns the camera/frame lists and
+the GaussianModel, initializes the gaussians from the scene's point cloud,
+and persists checkpoints under an output directory. Sources:
+
+  * reference-format dynamic datasets (train_meta.json + init_pt_cld.npz,
+    scene/__init__.py:132-199 semantics) via data.dataset
+  * COLMAP / Blender static scenes via data.colmap
+  * an in-memory SceneInfo / frame list
+
+`save(iteration)` writes point_cloud/iteration_N/point_cloud.ply exactly
+where the reference's viewers look for it (scene/__init__.py save()).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dynamic3dgaussians_tpu.models.gaussian_model import GaussianModel
+
+
+class Scene:
+    def __init__(self, gaussians: GaussianModel,
+                 model_path: str = "./output/scene",
+                 frames: Optional[List[Dict]] = None,
+                 test_frames: Optional[List[Dict]] = None,
+                 point_cloud: Optional[np.ndarray] = None,
+                 spatial_lr_scale: Optional[float] = None,
+                 capacity: Optional[int] = None,
+                 load_iteration: Optional[int] = None):
+        """Args:
+          gaussians: an (uninitialized) GaussianModel.
+          frames / test_frames: camera datapoint dicts ({camera, im, ...}).
+          point_cloud: (N, >=6) [xyz rgb ...] init points; required unless
+            load_iteration restores a saved PLY.
+          load_iteration: restore gaussians from
+            point_cloud/iteration_{i}/point_cloud.ply (-1 = latest).
+        """
+        self.gaussians = gaussians
+        self.model_path = model_path
+        self.train_frames = frames or []
+        self.test_frames = test_frames or []
+
+        if load_iteration is not None:
+            it = self._resolve_iteration(load_iteration)
+            self.loaded_iter = it
+            self._load_ply(it)
+        else:
+            assert point_cloud is not None, "need point_cloud or load_iteration"
+            if spatial_lr_scale is None:
+                spatial_lr_scale = self._nerfpp_radius()
+            gaussians.create_from_pcd(point_cloud[:, :3],
+                                      point_cloud[:, 3:6],
+                                      spatial_lr_scale=spatial_lr_scale,
+                                      capacity=capacity)
+            self.loaded_iter = None
+
+    # ---- reference Scene API ----
+    def getTrainCameras(self) -> List[Dict]:
+        return self.train_frames
+
+    def getTestCameras(self) -> List[Dict]:
+        return self.test_frames
+
+    def save(self, iteration: int) -> str:
+        """PLY snapshot at point_cloud/iteration_{i}/ (scene/__init__.py)."""
+        from dynamic3dgaussians_tpu import native
+        d = os.path.join(self.model_path, "point_cloud",
+                         f"iteration_{iteration}")
+        os.makedirs(d, exist_ok=True)
+        p = self.gaussians.params
+        n = self.gaussians.num_points
+        native.ply_write(
+            os.path.join(d, "point_cloud.ply"),
+            np.asarray(p["means3D"])[:n],
+            np.asarray(p["features_dc"])[:n, 0, :],
+            np.asarray(p["logit_opacities"])[:n, 0],
+            np.asarray(p["log_scales"])[:n],
+            np.asarray(p["unnorm_rotations"])[:n])
+        return d
+
+    # ---- helpers ----
+    def _resolve_iteration(self, it: int) -> int:
+        base = os.path.join(self.model_path, "point_cloud")
+        if it >= 0:
+            return it
+        its = [int(d.split("_")[-1]) for d in os.listdir(base)
+               if d.startswith("iteration_")]
+        assert its, f"no checkpoints under {base}"
+        return max(its)
+
+    def _load_ply(self, iteration: int):
+        import jax.numpy as jnp
+
+        from dynamic3dgaussians_tpu import native
+        from dynamic3dgaussians_tpu.models import gaussians as G
+        path = os.path.join(self.model_path, "point_cloud",
+                            f"iteration_{iteration}", "point_cloud.ply")
+        data = native.ply_read(path)
+        n = data["means3D"].shape[0]
+        g = self.gaussians
+        k = (g.max_sh_degree + 1) ** 2
+        params = {
+            "means3D": jnp.asarray(data["means3D"]),
+            "features_dc": jnp.asarray(data["f_dc"])[:, None, :],
+            "features_rest": jnp.zeros((n, k - 1, 3), jnp.float32),
+            "logit_opacities": jnp.asarray(data["logit_opacities"]),
+            "log_scales": jnp.asarray(data["log_scales"]),
+            "unnorm_rotations": jnp.asarray(data["unnorm_rotations"]),
+        }
+        cap = G.round_capacity(n)
+        g.params = G.pad_params(params, cap)
+        g.variables = {
+            "alive": jnp.arange(cap) < n,
+            "scene_radius": jnp.float32(self._nerfpp_radius()),
+            "means2D_gradient_accum": jnp.zeros(cap, jnp.float32),
+            "denom": jnp.zeros(cap, jnp.float32),
+            "max_2D_radius": jnp.zeros(cap, jnp.float32),
+        }
+        g.spatial_lr_scale = float(g.variables["scene_radius"])
+        g.active_sh_degree = g.max_sh_degree
+
+    def _nerfpp_radius(self) -> float:
+        if not self.train_frames:
+            return 1.0
+        centers = [np.linalg.inv(np.asarray(f["camera"].w2c))[:3, 3]
+                   for f in self.train_frames]
+        centers = np.stack(centers)
+        return 1.1 * float(np.max(np.linalg.norm(
+            centers - centers.mean(0), axis=-1))) or 1.0
+
+
+def scene_from_reference_dataset(root: str, seq: str,
+                                 gaussians: GaussianModel,
+                                 model_path: str = "./output/scene",
+                                 t: int = 0, **kw) -> Scene:
+    """Scene over the reference's dynamic data layout at timestep t
+    (scene/__init__.py:132-199: Dy_train_meta.json + init npz)."""
+    from dynamic3dgaussians_tpu.data import dataset as D
+    md = D.load_meta(root, seq)
+    frames = D.load_timestep(root, seq, md, t)
+    pt = D.load_init_point_cloud(root, seq)
+    return Scene(gaussians, model_path=model_path, frames=frames,
+                 point_cloud=pt, **kw)
+
+
+def scene_from_colmap(root: str, gaussians: GaussianModel,
+                      model_path: str = "./output/scene", **kw) -> Scene:
+    """Scene from a COLMAP reconstruction (dataset_readers.py:74-121)."""
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.data.colmap import read_colmap_scene
+    from dynamic3dgaussians_tpu.ops.camera import make_camera
+    info = read_colmap_scene(root)
+    frames = []
+    for im in info.images:
+        cam_info = info.cameras[im.camera_id]
+        frames.append({"camera": make_camera(
+            cam_info.width, cam_info.height, cam_info.intrinsics, im.w2c),
+            "name": im.name})
+    cloud = np.concatenate([info.points, info.point_colors], axis=1)
+    return Scene(gaussians, model_path=model_path, frames=frames,
+                 point_cloud=cloud.astype(np.float32),
+                 spatial_lr_scale=info.nerf_norm_radius, **kw)

@@ -1,6 +1,7 @@
 """OO GaussianModel API + network GUI protocol loopback."""
 
 import json
+import os
 import socket
 import struct
 import threading
@@ -153,3 +154,54 @@ def test_network_gui_loopback():
     assert result["metrics"] == {"iter": 7}
     img = np.frombuffer(result["img"], np.uint8)
     assert img.max() > 0
+
+
+def test_scene_save_and_reload(tmp_path):
+    from dynamic3dgaussians_tpu.models.gaussian_model import GaussianModel
+    from dynamic3dgaussians_tpu.models.scene import Scene
+    rng = np.random.RandomState(0)
+    cloud = np.concatenate([rng.uniform(-1, 1, (50, 3)),
+                            rng.rand(50, 3)], 1).astype(np.float32)
+    g = GaussianModel(sh_degree=2)
+    sc = Scene(g, model_path=str(tmp_path), point_cloud=cloud, capacity=128)
+    assert g.num_points == 50
+    d = sc.save(100)
+    assert os.path.exists(os.path.join(d, "point_cloud.ply"))
+    g2 = GaussianModel(sh_degree=2)
+    sc2 = Scene(g2, model_path=str(tmp_path), load_iteration=-1)
+    assert sc2.loaded_iter == 100 and g2.num_points == 50
+    np.testing.assert_allclose(np.asarray(g2.params["means3D"])[:50],
+                               cloud[:, :3], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g2.params["features_dc"])[:50, 0],
+        np.asarray(g.params["features_dc"])[:50, 0], atol=1e-6)
+
+
+def test_scene_from_colmap(tmp_path):
+    import struct
+    from dynamic3dgaussians_tpu.models.gaussian_model import GaussianModel
+    from dynamic3dgaussians_tpu.models.scene import scene_from_colmap
+    d = tmp_path / "sparse" / "0"
+    os.makedirs(d)
+    with open(d / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+        f.write(struct.pack("<dddd", 50.0, 50.0, 32.0, 24.0))
+    with open(d / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i in range(2):
+            f.write(struct.pack("<idddddddi", i + 1, 1.0, 0, 0, 0,
+                                0.1 * i, 0, 3.0, 1))
+            f.write(f"im{i}.jpg\x00".encode())
+            f.write(struct.pack("<Q", 0))
+    with open(d / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<QdddBBBd", i + 1, 0.1 * i, 0.2, 0.3,
+                                100, 150, 200, 0.5))
+            f.write(struct.pack("<Q", 0))
+    g = GaussianModel(sh_degree=1)
+    sc = scene_from_colmap(str(tmp_path), g, model_path=str(tmp_path / "out"),
+                           capacity=128)
+    assert len(sc.getTrainCameras()) == 2
+    assert g.num_points == 3
