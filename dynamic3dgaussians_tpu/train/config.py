@@ -22,7 +22,10 @@ class RasterSettings:
     tile_w: int = 16
     chunk: int = 128
     max_per_tile: int = 1024
-    max_tiles_per_gaussian: int = 32
+    # per-gaussian emission slots; overflow is counted in the step metrics
+    # (n_dropped) — raise if it stays nonzero. 8 covers trained-scene-scale
+    # gaussians; tiny test scenes with huge splats set their own.
+    max_tiles_per_gaussian: int = 8
     pairs_per_gaussian: int = 8
 
 

@@ -296,11 +296,19 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
         lrs = lr_tree(frozen=not is_initial)
         todo: List[int] = []
         start_i = resume_i + 1 if t == resume_t else 0
+        k_cams = max(1, min(cfg.cams_per_step, len(data_t)))
         for i in range(start_i, num_iters):
-            # random camera without replacement (reference get_batch)
-            if not todo:
-                todo = list(rng.permutation(len(data_t)))
-            batch = data_t[todo.pop()]
+            # random camera(s) without replacement (reference get_batch);
+            # cams_per_step > 1 stacks a camera batch (vmapped in the step)
+            picks = []
+            for _ in range(k_cams):
+                if not todo:
+                    todo = list(rng.permutation(len(data_t)))
+                picks.append(data_t[todo.pop()])
+            if k_cams == 1:
+                batch = picks[0]
+            else:
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *picks)
             params, opt_state, variables, metrics = train_step(
                 params, opt_state, variables, batch, lrs, is_initial)
             global_step += 1

@@ -194,3 +194,26 @@ def test_opacity_reset():
     new_p, new_opt = D.reset_opacity(params, opt_state)
     op = jax.nn.sigmoid(np.asarray(new_p["logit_opacities"]))
     np.testing.assert_allclose(op, 0.01, atol=1e-5)
+
+
+def test_cams_per_step_batching():
+    """cams_per_step > 1 stacks camera batches through the vmapped step."""
+    from dynamic3dgaussians_tpu.data import synthetic
+    from dynamic3dgaussians_tpu.models import gaussians as G
+    from dynamic3dgaussians_tpu.train.config import (RasterSettings,
+                                                     TrainConfig)
+    from dynamic3dgaussians_tpu.train.trainer import train
+
+    scene = synthetic.make_gt_scene(n_fg=20, n_bg=40, seed=0)
+    dataset, w2c, _ = synthetic.make_dataset(scene, num_t=1, num_cams=4,
+                                             w=32, h=32, f=28.0)
+    pt = synthetic.init_point_cloud(scene, noise=0.05)
+    cfg = TrainConfig(num_timesteps=1, iters_first_timestep=6,
+                      capacity=128, cams_per_step=2,
+                      densify_start=100, densify_end=0,
+                      raster=RasterSettings(chunk=64, max_per_tile=256,
+                                            max_tiles_per_gaussian=16,
+                                            pairs_per_gaussian=16))
+    out_params, params, variables = train(dataset, cfg, pt, w2c)
+    assert len(out_params) == 1
+    assert np.isfinite(np.asarray(params["means3D"])).all()
