@@ -94,39 +94,70 @@ def physics_losses(act_means: jnp.ndarray, act_rots: jnp.ndarray,
       rgb_colors: (cap, 3) raw color params.
       variables: carries the frozen t-1 state and the 20-NN graph:
         neighbor_indices (cap, K) int32 (-1 = invalid row/slot),
+        edge_rank (cap*K,), edge_row_ptr (cap+1,) — the static backward plan
+        (ops.neighbor.build_edge_reduction),
         neighbor_weight (cap, K) = exp(-2000 * sq_dist),
-        neighbor_dist (cap, K), prev_inv_rot (cap, 4), prev_offset (cap, K, 3),
+        neighbor_dist (cap, K), prev_inv_rot (cap, 4),
+        prev_offset (3, K, cap) previous-frame offsets (feature-major),
         prev_col (cap, 3), init_bg_pts (cap, 3), init_bg_rot (cap, 4).
       is_fg: (cap,) foreground mask (seg_colors[:, 0] > 0.5).
       alive: (cap,) slot liveness.
+
+    TPU layout: all per-edge math runs feature-major (K, cap) — an
+    (cap, K, 3) layout pads its minor dim to 128 lanes and wastes ~40x HBM
+    bandwidth per pass; the neighbor fetch goes through
+    ops.neighbor.neighbor_lookup whose backward is sort-based (no 4M-row
+    scatter — measured 110 ms -> sorts at ~memcpy speed).
     """
+    from dynamic3dgaussians_tpu.ops.neighbor import (EdgeReduction,
+                                                     lookup_components)
+
     idx = variables["neighbor_indices"]
-    w = variables["neighbor_weight"]
-    k = idx.shape[1]
+    plan = EdgeReduction(variables["edge_rank"], variables["edge_row_ptr"],
+                         0)
+    w = variables["neighbor_weight"].T                       # (K, cap)
     fg = is_fg & alive
-    row_ok = fg[:, None] & (idx >= 0)
-    safe_idx = jnp.maximum(idx, 0)
+    row_ok = fg[None, :] & (idx.T >= 0)                      # (K, cap)
 
-    rel_rot = quat.quat_mult(act_rots, variables["prev_inv_rot"])
-    R = quat.quat_to_rotmat(rel_rot, normalized=False)
+    rel_rot = quat.normalize(
+        quat.quat_mult(act_rots, variables["prev_inv_rot"]))  # (cap, 4)
+    mx, my, mz = act_means[:, 0], act_means[:, 1], act_means[:, 2]
+    q0, q1, q2, q3 = (rel_rot[:, 0], rel_rot[:, 1], rel_rot[:, 2],
+                      rel_rot[:, 3])
 
-    neighbor_pts = act_means[safe_idx]                       # (cap, K, 3)
-    curr_offset = neighbor_pts - act_means[:, None, :]
-    # rotate current offsets into the previous frame: R_i^T @ offset
-    curr_in_prev = jnp.einsum("nji,nkj->nki", R, curr_offset)
+    nx, ny, nz, nq0, nq1, nq2, nq3 = lookup_components(
+        (mx, my, mz, q0, q1, q2, q3), idx, plan)             # (K, cap) each
 
+    ox = nx - mx[None, :]
+    oy = ny - my[None, :]
+    oz = nz - mz[None, :]
+
+    # R_i^T @ offset with R built elementwise from the relative quaternion
+    r00 = 1 - 2 * (q2 * q2 + q3 * q3)
+    r01 = 2 * (q1 * q2 - q0 * q3)
+    r02 = 2 * (q1 * q3 + q0 * q2)
+    r10 = 2 * (q1 * q2 + q0 * q3)
+    r11 = 1 - 2 * (q1 * q1 + q3 * q3)
+    r12 = 2 * (q2 * q3 - q0 * q1)
+    r20 = 2 * (q1 * q3 - q0 * q2)
+    r21 = 2 * (q2 * q3 + q0 * q1)
+    r22 = 1 - 2 * (q1 * q1 + q2 * q2)
+    cx = r00[None] * ox + r10[None] * oy + r20[None] * oz
+    cy = r01[None] * ox + r11[None] * oy + r21[None] * oz
+    cz = r02[None] * ox + r12[None] * oy + r22[None] * oz
+
+    pox, poy, poz = variables["prev_offset"]                 # (3, K, cap)
     rigid_term = jnp.sqrt(
-        jnp.sum((curr_in_prev - variables["prev_offset"]) ** 2, axis=-1)
-        * w + 1e-20)
+        ((cx - pox) ** 2 + (cy - poy) ** 2 + (cz - poz) ** 2) * w + 1e-20)
     losses = {"rigid": masked_mean(rigid_term, row_ok)}
 
     rot_term = jnp.sqrt(
-        jnp.sum((rel_rot[safe_idx] - rel_rot[:, None, :]) ** 2, axis=-1)
-        * w + 1e-20)
+        ((nq0 - q0[None]) ** 2 + (nq1 - q1[None]) ** 2
+         + (nq2 - q2[None]) ** 2 + (nq3 - q3[None]) ** 2) * w + 1e-20)
     losses["rot"] = masked_mean(rot_term, row_ok)
 
-    curr_mag = jnp.sqrt(jnp.sum(curr_offset ** 2, axis=-1) + 1e-20)
-    iso_term = jnp.sqrt((curr_mag - variables["neighbor_dist"]) ** 2
+    curr_mag = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-20)
+    iso_term = jnp.sqrt((curr_mag - variables["neighbor_dist"].T) ** 2
                         * w + 1e-20)
     losses["iso"] = masked_mean(iso_term, row_ok)
 

@@ -155,14 +155,20 @@ def initialize_per_timestep(params: Dict, variables: Dict,
     prev_inv_rot (conjugate for fg), prev_offset, prev colors/points/rots;
     Adam moments reset for the re-initialized tensors.
     """
+    from dynamic3dgaussians_tpu.ops.neighbor import (EdgeReduction,
+                                                     lookup_components)
     pts = params["means3D"]
     rot = quat.normalize(params["unnorm_rotations"])
     new_pts = pts + (pts - variables["prev_pts"])
     new_rot = quat.normalize(rot + (rot - variables["prev_rot"]))
 
     idx = variables["neighbor_indices"]
-    safe_idx = jnp.maximum(idx, 0)
-    prev_offset = pts[safe_idx] - pts[:, None, :]
+    plan = EdgeReduction(variables["edge_rank"], variables["edge_row_ptr"], 0)
+    nx, ny, nz = lookup_components((pts[:, 0], pts[:, 1], pts[:, 2]), idx,
+                                   plan)
+    # previous-frame neighbor offsets, feature-major (3, K, cap)
+    prev_offset = jnp.stack([nx - pts[None, :, 0], ny - pts[None, :, 1],
+                             nz - pts[None, :, 2]], axis=0)
 
     # explicit device copies: train_step donates its inputs, so variables
     # must never alias params' buffers (or each other)
@@ -192,11 +198,20 @@ def initialize_post_first_timestep(params: Dict, variables: Dict,
     """
     alive = variables["alive"]
     is_fg = (params["seg_colors"][:, 0] > 0.5) & alive
-    sq_dist, idx = knn(params["means3D"], cfg.num_knn, mask=is_fg)
+    if cfg.knn_method == "approx":
+        from dynamic3dgaussians_tpu.ops.knn import knn_approx
+        sq_dist, idx = knn_approx(params["means3D"], cfg.num_knn, mask=is_fg)
+    else:
+        sq_dist, idx = knn(params["means3D"], cfg.num_knn, mask=is_fg)
     sq_dist = jnp.where(idx >= 0, sq_dist, 0.0)
+    # static backward plan for the fixed graph (sort-based edge reduction)
+    from dynamic3dgaussians_tpu.ops.neighbor import build_edge_reduction
+    plan = build_edge_reduction(np.asarray(idx))
 
     new_vars = dict(variables)
     new_vars["neighbor_indices"] = idx
+    new_vars["edge_rank"] = plan.rank
+    new_vars["edge_row_ptr"] = plan.row_ptr
     new_vars["neighbor_weight"] = jnp.exp(-cfg.knn_weight_beta * sq_dist)
     new_vars["neighbor_dist"] = jnp.sqrt(sq_dist)
     rot = quat.normalize(params["unnorm_rotations"])

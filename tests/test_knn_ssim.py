@@ -95,3 +95,36 @@ def test_ssim_identical_images():
     rng = np.random.RandomState(4)
     a = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
     assert float(calc_ssim(jnp.asarray(a), jnp.asarray(a))) > 0.99
+
+
+def test_knn_approx_recall_and_distances():
+    from dynamic3dgaussians_tpu.ops.knn import knn, knn_approx
+    rng = np.random.RandomState(0)
+    # clustered points (realistic scene statistics)
+    centers = rng.uniform(-2, 2, (10, 3))
+    pts = (centers[rng.randint(0, 10, 1500)]
+           + rng.normal(0, 0.15, (1500, 3))).astype(np.float32)
+    d_ex, i_ex = knn(jnp.asarray(pts), 3)
+    d_ap, i_ap = knn_approx(jnp.asarray(pts), 3, window=24, grids=2)
+    # distances nearly exact on average (mean 3-NN sq dist drives log_scales)
+    m_ex = np.asarray(d_ex).mean(axis=1)
+    m_ap = np.asarray(d_ap).mean(axis=1)
+    rel = np.abs(m_ap - m_ex) / np.maximum(m_ex, 1e-12)
+    assert np.median(rel) < 0.05
+    assert np.mean(rel) < 0.25
+    # neighbor recall
+    recall = np.mean([len(set(np.asarray(i_ap)[i]) & set(np.asarray(i_ex)[i]))
+                      / 3.0 for i in range(1500)])
+    assert recall > 0.8
+
+
+def test_knn_approx_respects_mask():
+    from dynamic3dgaussians_tpu.ops.knn import knn_approx
+    rng = np.random.RandomState(1)
+    pts = rng.rand(200, 3).astype(np.float32)
+    mask = jnp.arange(200) < 100
+    d, i = knn_approx(jnp.asarray(pts), 4, mask=mask, window=16)
+    i = np.asarray(i)
+    d = np.asarray(d)
+    assert (i[100:] == -1).all() and np.isinf(d[100:]).all()
+    assert (i[:100] < 100).all()  # masked-out points never appear

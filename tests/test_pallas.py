@@ -80,3 +80,39 @@ def test_pallas_early_termination_consistent():
     np.testing.assert_allclose(np.asarray(p.rgb), np.asarray(t.rgb),
                                atol=5e-4)
     assert float(t.alpha[16, 16]) > 0.99  # center pixel saturated
+
+def test_pallas_grads_match_finite_differences():
+    """Direct FD check of the custom_vjp against central differences."""
+    args = _args(n=12, seed=5, w=32, h=16)
+    cam = args[0]
+    means, colors, opac, scales, quats = [np.asarray(a) for a in args[1:]]
+
+    def loss_np(m):
+        out = render(cam, jnp.asarray(m), jnp.asarray(colors),
+                     jnp.asarray(opac), jnp.asarray(scales),
+                     jnp.asarray(quats), method="pallas", config=CFG)
+        return float(jnp.sum(out.rgb * 0.7) + 0.2 * jnp.sum(out.alpha))
+
+    g = jax.grad(lambda m: jnp.sum(render(
+        cam, m, jnp.asarray(colors), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), method="pallas", config=CFG).rgb * 0.7)
+        + 0.2 * jnp.sum(render(
+            cam, m, jnp.asarray(colors), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), method="pallas",
+            config=CFG).alpha))(jnp.asarray(means))
+    g = np.asarray(g)
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for _ in range(6):
+        i, j = rng.randint(0, means.shape[0]), rng.randint(0, 3)
+        if abs(g[i, j]) < 1e-4:
+            continue  # FD too noisy near zero
+        eps = 3e-3
+        mp, mm = means.copy(), means.copy()
+        mp[i, j] += eps
+        mm[i, j] -= eps
+        fd = (loss_np(mp) - loss_np(mm)) / (2 * eps)
+        np.testing.assert_allclose(g[i, j], fd, rtol=0.08, atol=5e-4)
+        checked += 1
+    assert checked >= 2

@@ -47,12 +47,17 @@ def test_physics_losses_zero_when_static():
     from dynamic3dgaussians_tpu.ops import quat
     sq, idx = knn(means, k, mask=is_fg, row_chunk=64, col_chunk=64)
     sq = jnp.where(idx >= 0, sq, 0.0)
+    from dynamic3dgaussians_tpu.ops.neighbor import build_edge_reduction
+    plan = build_edge_reduction(np.asarray(idx))
+    prev_off = (means[jnp.maximum(idx, 0)] - means[:, None]).transpose(2, 1, 0)
     variables = {
         "neighbor_indices": idx,
+        "edge_rank": plan.rank,
+        "edge_row_ptr": plan.row_ptr,
         "neighbor_weight": jnp.exp(-2000.0 * sq),
         "neighbor_dist": jnp.sqrt(sq),
         "prev_inv_rot": quat.conjugate(rots),
-        "prev_offset": means[jnp.maximum(idx, 0)] - means[:, None],
+        "prev_offset": prev_off,
         "prev_col": colors,
         "init_bg_pts": means,
         "init_bg_rot": rots,
@@ -75,12 +80,17 @@ def test_physics_losses_detect_motion():
     from dynamic3dgaussians_tpu.ops import quat
     sq, idx = knn(means, k, mask=is_fg, row_chunk=64, col_chunk=64)
     sq = jnp.where(idx >= 0, sq, 0.0)
+    from dynamic3dgaussians_tpu.ops.neighbor import build_edge_reduction
+    plan = build_edge_reduction(np.asarray(idx))
+    prev_off = (means[jnp.maximum(idx, 0)] - means[:, None]).transpose(2, 1, 0)
     variables = {
         "neighbor_indices": idx,
+        "edge_rank": plan.rank,
+        "edge_row_ptr": plan.row_ptr,
         "neighbor_weight": jnp.exp(-2000.0 * sq),
         "neighbor_dist": jnp.sqrt(sq),
         "prev_inv_rot": quat.conjugate(rots),
-        "prev_offset": means[jnp.maximum(idx, 0)] - means[:, None],
+        "prev_offset": prev_off,
         "prev_col": colors,
         "init_bg_pts": means,
         "init_bg_rot": rots,
@@ -217,3 +227,36 @@ def test_cams_per_step_batching():
     out_params, params, variables = train(dataset, cfg, pt, w2c)
     assert len(out_params) == 1
     assert np.isfinite(np.asarray(params["means3D"])).all()
+
+
+def test_neighbor_lookup_grads_match_autodiff_gather():
+    """Sort-based backward == plain gather transpose (scatter-add)."""
+    from dynamic3dgaussians_tpu.ops.neighbor import (build_edge_reduction,
+                                                     neighbor_lookup)
+    rng = np.random.RandomState(0)
+    cap, k, f = 40, 5, 8
+    tbl = jnp.asarray(rng.normal(size=(cap, f)), jnp.float32)
+    idx = rng.randint(0, cap, (cap, k)).astype(np.int32)
+    idx[5, 2] = -1  # invalid edge
+    idx = jnp.asarray(idx)
+    plan = build_edge_reduction(np.asarray(idx))
+    cot = jnp.asarray(rng.normal(size=(f, k, cap)), jnp.float32)
+
+    def ours(t):
+        return jnp.sum(neighbor_lookup(t, idx, plan, k) * cot)
+
+    def ref(t):
+        rec = t[jnp.maximum(idx, 0)].transpose(2, 1, 0)
+        # invalid edges must not contribute (ours drops them in the plan)
+        mask = (idx >= 0).T[None]
+        return jnp.sum(jnp.where(mask, rec, 0.0) * jnp.where(mask, cot, 0.0))
+
+    # forward parity (on valid edges)
+    a = neighbor_lookup(tbl, idx, plan, k)
+    b = tbl[jnp.maximum(idx, 0)].transpose(2, 1, 0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    g_ours = jax.grad(ours)(tbl)
+    g_ref = jax.grad(ref)(tbl)
+    # ours keeps cotangents on invalid edges out via the plan, ref masks them
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               atol=2e-5, rtol=1e-4)
