@@ -31,9 +31,19 @@ def _add_train_cfg_args(p: argparse.ArgumentParser):
                    help="TrainConfig overrides as a JSON file")
 
 
+def load_run_config(model_dir):
+    """TrainConfig saved next to a previous run's outputs (the reference's
+    get_combined_args cfg_args merging, arguments/__init__.py:97-117)."""
+    from dynamic3dgaussians_tpu.train.config import TrainConfig
+    with open(os.path.join(model_dir, "cfg_args.json")) as f:
+        return TrainConfig.from_json(f.read())
+
+
 def _build_cfg(args):
     from dynamic3dgaussians_tpu.train.config import TrainConfig
     cfg = TrainConfig()
+    if getattr(args, "model_dir", None):
+        cfg = load_run_config(args.model_dir)
     if args.config_json:
         with open(args.config_json) as f:
             cfg = TrainConfig.from_json(f.read())
@@ -90,9 +100,27 @@ def cmd_train(args):
             print(f"t={t} i={i} loss={float(metrics['loss']):.4f} "
                   f"psnr={float(metrics['psnr']):.2f}", flush=True)
 
+    get_frames = dataset if callable(dataset) else dataset.__getitem__
+
+    def on_timestep(t, params, variables):
+        # render-vs-GT panel per finished timestep (the reference's wandb
+        # image dumps, ssd_train.py:484-672) — written as PNGs + wandb
+        import numpy as _np
+
+        from dynamic3dgaussians_tpu.models.gaussians import activated
+        from dynamic3dgaussians_tpu.ops.rasterize import render as _render
+        from dynamic3dgaussians_tpu.viz.render import to_uint8
+        frame = get_frames(t)[0]
+        act = activated(params, variables["alive"])
+        out = _render(frame["camera"], act["means3d"], act["colors"],
+                      act["opacity"], act["scales"], act["rotations"])
+        panel = _np.concatenate([to_uint8(out.rgb),
+                                 to_uint8(frame["im"])], axis=1)
+        logger.log_image(t, f"panel_t{t}", panel)
+
     output_params, params, variables = train(
         dataset, cfg, pt_cld, w2c,
-        callbacks={"on_step": on_step},
+        callbacks={"on_step": on_step, "on_timestep": on_timestep},
         checkpoint_dir=os.path.join(out_dir, "ckpt")
         if args.checkpoint_every else None,
         checkpoint_every=args.checkpoint_every,
@@ -155,6 +183,9 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train", help="dynamic per-timestep optimization")
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="load the TrainConfig of a previous run "
+                        "(cfg_args.json) as the base")
     p.add_argument("--data_root", type=str, default="./data_ego")
     p.add_argument("--seq", type=str, default="synthetic")
     p.add_argument("--exp", type=str, default="exp")
