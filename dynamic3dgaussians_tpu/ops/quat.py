@@ -78,9 +78,17 @@ def cont_6d_to_rotmat(d6: jnp.ndarray) -> jnp.ndarray:
     parity with the motion-basis rotations of reference motion_utils.py.
     """
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+
+    def unit(v):
+        # NaN-safe at v == 0 (capacity-padding rows): rsqrt of a clamped
+        # sum-of-squares keeps value AND cotangent finite; norm-then-divide
+        # backprops sqrt'(0) = inf through the unselected max branch.
+        sumsq = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-24))
+
+    b1 = unit(a1)
     a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), 1e-12)
+    b2 = unit(a2p)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 

@@ -147,3 +147,51 @@ def train_motion(dataset: List[List[Dict]], cfg: TrainConfig,
         if "on_step" in callbacks and i % cfg.report_every == 0:
             callbacks["on_step"](0, i, metrics)
     return params, variables
+
+
+def reverse_window_schedule(num_frames: int, step: int = 3,
+                            window: int = 6):
+    """The dyn_train.py frame schedule (dyn_train.py:422-450): anchors walk
+    the sequence in reverse with stride `step`; each anchor trains on the
+    window of frames [anchor, anchor + window) clipped to the sequence.
+
+    Yields (anchor_frame, [window frames])."""
+    for anchor in range(num_frames - 1, -1, -step):
+        frames = [f for f in range(anchor, min(anchor + window, num_frames))]
+        yield anchor, frames
+
+
+def train_motion_windowed(dataset, cfg: TrainConfig, pt_cld, w2c_stack,
+                          num_bases: int = 10,
+                          iters_per_window: int = 500,
+                          window_step: int = 3, window: int = 6,
+                          features=None, callbacks=None):
+    """Windowed reverse-schedule variant of train_motion (dyn_train.py's
+    training order: later frames first, each window jointly optimized)."""
+    callbacks = callbacks or {}
+    rng = np.random.RandomState(cfg.seed)
+    num_frames = len(dataset)
+    # reuse train_motion's initialization by running it for 0 iterations
+    params, variables = train_motion(dataset, cfg, pt_cld, w2c_stack,
+                                     num_bases=num_bases, num_iters=0,
+                                     features=features)
+    opt_state = optim.init(params)
+    lrs = {k: jnp.float32(MOTION_LRS.get(k.replace("motion_", ""),
+                                         cfg.lrs.get(k, 0.0)))
+           for k in params}
+    lrs["means3D"] = jnp.float32(cfg.lrs["means3D"]
+                                 * float(variables["scene_radius"]))
+    step_fn = make_motion_step(cfg, raster_config(cfg))
+    it = 0
+    for anchor, frames in reverse_window_schedule(num_frames, window_step,
+                                                  window):
+        for _ in range(iters_per_window):
+            t = frames[rng.randint(len(frames))]
+            batch = dataset[t][rng.randint(len(dataset[t]))]
+            params, opt_state, metrics = step_fn(params, opt_state,
+                                                 variables, batch,
+                                                 jnp.int32(t), lrs)
+            if "on_step" in callbacks and it % cfg.report_every == 0:
+                callbacks["on_step"](anchor, it, metrics)
+            it += 1
+    return params, variables

@@ -99,3 +99,14 @@ def test_label_colormap():
     assert cm.shape == (256, 3)
     np.testing.assert_array_equal(cm[0], [0, 0, 0])
     np.testing.assert_array_equal(cm[1], [128, 0, 0])  # VOC class 1
+
+
+def test_reverse_window_schedule():
+    from dynamic3dgaussians_tpu.train.motion_trainer import (
+        reverse_window_schedule)
+    sched = list(reverse_window_schedule(12, step=3, window=6))
+    anchors = [a for a, _ in sched]
+    assert anchors == [11, 8, 5, 2]           # reversed, stride 3
+    assert sched[0][1] == [11]                # clipped at the sequence end
+    assert sched[2][1] == [5, 6, 7, 8, 9, 10]
+    assert all(0 <= f < 12 for _, fs in sched for f in fs)
