@@ -45,8 +45,23 @@ def _build_cfg(args):
     if getattr(args, "model_dir", None):
         cfg = load_run_config(args.model_dir)
     if args.config_json:
+        # Overlay: only keys present in the JSON override the base config
+        # (the reference's get_combined_args merges cfg_args with CLI the
+        # same way, arguments/__init__.py:97-117).
+        import dataclasses as _dc
+        import json as _json
         with open(args.config_json) as f:
-            cfg = TrainConfig.from_json(f.read())
+            over = _json.load(f)
+        for k, v in over.items():
+            if not hasattr(cfg, k):
+                raise SystemExit(f"unknown config field {k!r} in "
+                                 f"{args.config_json}")
+            if k == "raster":
+                cfg.raster = _dc.replace(cfg.raster, **v)
+            elif k == "freeze_after_t0":
+                cfg.freeze_after_t0 = tuple(v)
+            else:
+                setattr(cfg, k, v)
     if args.timesteps is not None:
         cfg.num_timesteps = args.timesteps
     if args.iters_first is not None:

@@ -139,7 +139,15 @@ def num_alive(variables: Variables) -> jnp.ndarray:
 
 def grow_capacity(params: Params, variables: Variables, new_capacity: int,
                   opt_state=None):
-    """Host-side capacity growth (recompile point, SURVEY.md §3.4 note)."""
+    """Host-side capacity growth (recompile point, SURVEY.md §3.4 note).
+
+    Pads every per-gaussian table (params, densify stats, Adam moments) from
+    the current capacity to `new_capacity`; new slots are dead. The next
+    jitted step at the new shape recompiles once — growth doubles, so a full
+    30k->300k reference-style densification run pays O(log2(10)) recompiles.
+    The reference instead reallocates tensors every densify pass
+    (external.py:158-180 cat_params_to_optimizer).
+    """
     grown = pad_params({k: v for k, v in params.items()}, new_capacity)
     var = dict(variables)
     old_cap = variables["alive"].shape[0]
@@ -148,12 +156,19 @@ def grow_capacity(params: Params, variables: Variables, new_capacity: int,
         var[k] = jnp.pad(variables[k], (0, extra))
     if opt_state is None:
         return grown, var
-    mu, nu = opt_state
     pad1 = lambda tree: {
         k: (v if k in CAMERA_KEYS else
             jnp.pad(v, [(0, extra)] + [(0, 0)] * (v.ndim - 1)))
         for k, v in tree.items()}
-    return grown, var, (pad1(mu), pad1(nu))
+    if hasattr(opt_state, "mu"):  # optim.AdamState
+        from dynamic3dgaussians_tpu.train import optim as _optim
+        new_opt = _optim.AdamState(mu=pad1(opt_state.mu),
+                                   nu=pad1(opt_state.nu),
+                                   step=opt_state.step)
+    else:
+        mu, nu = opt_state
+        new_opt = (pad1(mu), pad1(nu))
+    return grown, var, new_opt
 
 
 def compact(params: Params, variables: Variables):

@@ -122,7 +122,16 @@ class Scene:
             "max_2D_radius": jnp.zeros(cap, jnp.float32),
         }
         g.spatial_lr_scale = float(g.variables["scene_radius"])
-        g.active_sh_degree = g.max_sh_degree
+        # The 17-prop splat PLY stores no f_rest: higher-order SH was NOT
+        # recovered, so reflect that in the active degree instead of claiming
+        # a full restore (ADVICE r1). Training can ramp it back up.
+        g.active_sh_degree = 0
+        if g.max_sh_degree > 0:
+            import warnings
+            warnings.warn(
+                f"{path}: splat PLY carries only DC SH; features_rest "
+                "zeroed and active_sh_degree reset to 0 "
+                f"(model max_sh_degree={g.max_sh_degree})")
 
     def _nerfpp_radius(self) -> float:
         if not self.train_frames:

@@ -81,8 +81,42 @@ def ply_write(path: str, means, f_dc, logit_opacities, log_scales,
                    _f32(f_dc) * C0 + 0.5, _f32(logit_opacities))
 
 
+_PLY_REQUIRED = ("x", "y", "z", "f_dc_0", "f_dc_1", "f_dc_2", "opacity",
+                 "scale_0", "scale_1", "scale_2",
+                 "rot_0", "rot_1", "rot_2", "rot_3")
+
+
+def _ply_prop_names(path: str) -> list:
+    """Float property names from the ASCII header (tiny, read in Python)."""
+    names = []
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline()
+            if not line or line.startswith(b"end_header"):
+                break
+            parts = line.decode("ascii", "replace").split()
+            if len(parts) == 3 and parts[0] == "property":
+                if parts[1] != "float":
+                    raise IOError(
+                        f"{path}: non-float property {parts[2]!r}; only "
+                        "all-float32 splat PLYs are supported")
+                names.append(parts[2])
+    return names
+
+
 def ply_read(path: str) -> dict:
-    """Read a binary splat PLY -> dict of arrays (17-prop layout)."""
+    """Read a binary splat PLY -> dict of arrays.
+
+    Columns are mapped by the header's property names (any all-float layout
+    with the standard 3DGS field names works, including files carrying extra
+    f_rest_* SH properties); a missing required property raises instead of
+    silently misparsing.
+    """
+    names = _ply_prop_names(path)
+    missing = [p for p in _PLY_REQUIRED if p not in names]
+    if missing:
+        raise IOError(f"{path}: PLY lacks required splat properties "
+                      f"{missing}; found {names}")
     lib = _load()
     if lib is None:
         from dynamic3dgaussians_tpu.viz.export import load_ply_splat
@@ -93,14 +127,24 @@ def ply_read(path: str) -> dict:
                                 ctypes.byref(header))
     if n < 0:
         raise IOError(f"cannot read {path}")
+    if props.value != len(names):
+        raise IOError(f"{path}: header/property mismatch "
+                      f"({props.value} vs {len(names)})")
     data = np.empty((n, props.value), np.float32)
     rc = lib.d3g_ply_read_data(path.encode(), header, ctypes.c_int64(n),
                                props, _ptr(data))
     if rc != 0:
         raise IOError(f"d3g_ply_read_data({path}) failed: {rc}")
-    return {"means3D": data[:, 0:3], "f_dc": data[:, 6:9],
-            "logit_opacities": data[:, 9:10], "log_scales": data[:, 10:13],
-            "unnorm_rotations": data[:, 13:17]}
+    col = {name: data[:, i] for i, name in enumerate(names)}
+
+    def stack(*ns):
+        return np.stack([col[x] for x in ns], axis=-1)
+
+    return {"means3D": stack("x", "y", "z"),
+            "f_dc": stack("f_dc_0", "f_dc_1", "f_dc_2"),
+            "logit_opacities": col["opacity"][:, None],
+            "log_scales": stack("scale_0", "scale_1", "scale_2"),
+            "unnorm_rotations": stack("rot_0", "rot_1", "rot_2", "rot_3")}
 
 
 class FileLoader:

@@ -42,6 +42,11 @@ class TrainConfig:
     opacity_reset_every: int = 3000
     # model
     capacity: Optional[int] = None     # default: 4x initial points
+    # host-side capacity doubling when densification runs out of free slots
+    # (reference grows tensors freely, external.py:244-292); each growth is
+    # one recompile. max_capacity caps it (0 = unbounded).
+    grow_capacity: bool = True
+    max_capacity: int = 0
     num_knn: int = 20                  # rigidity graph (train_beffor.py:243)
     knn_weight_beta: float = 2000.0    # exp(-2000 * d^2)
     # "exact" = O(N^2) MXU matmuls; "approx" = Morton-window (use above

@@ -69,6 +69,14 @@ def make_feature_train_step(rcfg: RasterConfig, lambda_dssim: float = 0.2,
         def loss_fn(p, dec, probe):
             from dynamic3dgaussians_tpu.ops import quat as Q
             sh = jnp.concatenate([p["features_dc"], p["features_rest"]], 1)
+            # Progressive SH ramp (revise_train.py oneupSHdegree): zero the
+            # coefficients above the active degree so the ramp is real while
+            # the jitted program keeps a single static shape. Coefficient k
+            # belongs to degree floor(sqrt(k)).
+            k_idx = jnp.arange(sh.shape[1])
+            coeff_deg = jnp.floor(jnp.sqrt(k_idx.astype(jnp.float32)))
+            live_coeff = coeff_deg <= active_sh_degree_arr.astype(jnp.float32)
+            sh = sh * live_coeff[None, :, None]
             out = render(
                 batch["camera"], p["means3D"],
                 jnp.zeros_like(p["means3D"]),

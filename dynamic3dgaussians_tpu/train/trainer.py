@@ -299,10 +299,10 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
     output_params = []
     for t in range(cfg.num_timesteps):
         is_initial = t == 0
-        data_t = get_t(t)
         if t < resume_t:
             continue  # resumed past this timestep (output_params of skipped
             # timesteps must be rebuilt from the npz checkpoint by the caller)
+        data_t = get_t(t)
         if not is_initial and t != resume_t:
             params, variables, opt_state = initialize_per_timestep(
                 params, variables, opt_state)
@@ -334,8 +334,29 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
             if is_initial and i <= cfg.densify_end:
                 if i >= cfg.densify_start and i % cfg.densify_every == 0:
                     key, sub = jax.random.split(key)
-                    params, variables, opt_state, dstats = densify_jit(
+                    new_state = densify_jit(
                         params, variables, opt_state, jnp.int32(i), sub)
+                    dropped = int(new_state[3].n_dropped_capacity)
+                    if dropped > 0 and cfg.grow_capacity:
+                        # Unbounded growth (reference external.py:244-292
+                        # appends freely): the pass ran out of free slots, so
+                        # grow the table host-side and redo the pass on the
+                        # pre-densify state — zero rows are ever dropped.
+                        # densify_jit does not donate its inputs, so the
+                        # pre-pass state is still live here.
+                        cap = variables["alive"].shape[0]
+                        needed = int(new_state[3].n_alive) + dropped
+                        new_cap = G.round_capacity(max(2 * cap, needed))
+                        if cfg.max_capacity:
+                            new_cap = min(new_cap, G.round_capacity(
+                                cfg.max_capacity))
+                        if new_cap > cap:
+                            params, variables, opt_state = G.grow_capacity(
+                                params, variables, new_cap, opt_state)
+                            new_state = densify_jit(params, variables,
+                                                    opt_state, jnp.int32(i),
+                                                    sub)
+                    params, variables, opt_state, dstats = new_state
                     if "on_densify" in callbacks:
                         callbacks["on_densify"](t, i, dstats)
                 if i > 0 and i % cfg.opacity_reset_every == 0:
