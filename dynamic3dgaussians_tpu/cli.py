@@ -157,6 +157,21 @@ def cmd_visualize(args):
     print(f"saved {out}")
 
 
+def cmd_view(args):
+    from dynamic3dgaussians_tpu.viz import live_viewer
+
+    if args.gui_host:
+        live_viewer.serve_live(args.gui_host, args.gui_port, args.host,
+                               args.port, w=args.width, h=args.height,
+                               f=args.focal)
+    else:
+        if not args.params:
+            raise SystemExit("view: need --params or --gui_host")
+        from dynamic3dgaussians_tpu.viz.export import load_params
+        live_viewer.serve(load_params(args.params), args.host, args.port,
+                          w=args.width, h=args.height, f=args.focal)
+
+
 def cmd_evaluate(args):
     import jax.numpy as jnp
 
@@ -225,6 +240,20 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=4.0)
     p.add_argument("--fps", type=int, default=20)
     p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("view", help="interactive browser viewer "
+                       "(orbit/zoom/playback; visualize_org.py equivalent)")
+    p.add_argument("--params", type=str, default=None,
+                   help="stacked params.npz to serve")
+    p.add_argument("--gui_host", type=str, default=None,
+                   help="bridge to a live training network-GUI instead")
+    p.add_argument("--gui_port", type=int, default=6009)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--focal", type=float, default=500.0)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("evaluate", help="PSNR/SSIM vs dataset images")
     p.add_argument("--params", type=str, required=True)
