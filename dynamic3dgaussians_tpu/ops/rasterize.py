@@ -57,6 +57,16 @@ class RasterConfig:
     # pallas path has. Overflow (huge gaussians) is counted, never silent.
     max_tiles_per_gaussian: int = flax.struct.field(pytree_node=False,
                                                     default=8)
+    # Pallas path sort strategy: fuse (tile, depth) into ONE i32 key when the
+    # tile grid fits (the CUDA reference's 64-bit key trick in 32 bits,
+    # rasterizer_impl.cu:102-104); "quantized" depth_mode additionally drops
+    # the f32 depth payload row and reads bucket-center depth back out of the
+    # key (~2^-13 relative on a 920-tile grid; ordering ties quantize the
+    # same way the reference's truncated-bit radix sort would). depth_mode
+    # "exact" keeps bit-exact depth values at one extra sorted row.
+    fused_key: bool = flax.struct.field(pytree_node=False, default=True)
+    depth_mode: str = flax.struct.field(pytree_node=False,
+                                        default="quantized")
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -198,7 +208,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
         channels, depth_img, alpha_img, n_dropped_rect = render_sorted(
             h, w, proj, colors, op, bg, tile_h=th, tile_w=tw,
             chunk=cfg.chunk,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            fused_key=cfg.fused_key, depth_mode=cfg.depth_mode)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

@@ -44,27 +44,90 @@ def _float0(x):
     return np.zeros(np.shape(x), jax.dtypes.float0)
 
 
+def depth_key_bits(num_tiles: int) -> int:
+    """Bits of quantized depth available in a fused (tile | depth) i32 key.
+
+    The key must stay non-negative in int32: bits_tile + bits_z = 31.
+    Returns 0 when the tile grid is too large for a useful fused key (the
+    caller falls back to the exact two-key sort).
+    """
+    bits_tile = max(1, (num_tiles + 1 - 1).bit_length())
+    bits_z = 31 - bits_tile
+    return bits_z if bits_z >= 18 else 0
+
+
+def fuse_tile_depth_key(tile_key: jnp.ndarray, depth: jnp.ndarray,
+                        bits_z: int) -> jnp.ndarray:
+    """Pack (tile, depth) into ONE i32 sort key: tile<<bits_z | z_bits.
+
+    The CUDA reference does exactly this in 64-bit (tileID<<32 |
+    float_bits(z), rasterizer_impl.cu:102-104); on TPU a 32-bit key sorts
+    ~a full payload row cheaper than 64-bit or two keys. Positive-float
+    bits are order-preserving, so taking the top `bits_z` magnitude bits
+    quantizes only the TIE-BREAKING granularity (~2^-(bits_z-8) relative
+    depth); equal-bucket gaussians compose in arbitrary order, exactly like
+    the reference's radix sort on truncated bits would.
+    """
+    d = jnp.maximum(depth, 1e-30)  # culled pairs carry the sentinel tile
+    zq = lax.shift_right_logical(
+        lax.bitcast_convert_type(d, jnp.int32), 31 - bits_z)
+    return (tile_key << bits_z) | zq
+
+
+def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
+    """Bucket-center depth back out of a fused key (~2^-(bits_z-8) rel)."""
+    bits = (key & ((1 << bits_z) - 1)) << (31 - bits_z)
+    bits = bits | (1 << (31 - bits_z - 1))  # half-bucket centering
+    return lax.bitcast_convert_type(bits, jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
-                    chunk: int, n_chan: int):
-    """Build the custom_vjp'd sort+composite for one static configuration."""
+                    chunk: int, n_chan: int, bits_z: int = 0,
+                    quantized_depth: bool = False):
+    """Build the custom_vjp'd sort+composite for one static configuration.
+
+    bits_z > 0 selects the fused single-key sort; quantized_depth
+    additionally drops the f32 depth payload row and feeds the kernel the
+    dequantized key depth (values ~2^-(bits_z-8) relative — gradients are
+    unchanged since d(dequant)/d(depth) ~= 1).
+    """
     cv = n_chan + 2
     cv_pad = -(-cv // 8) * 8
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
               tile_w=tile_w, chunk=chunk)
 
     def _prepare(tile_key, depth, pos, geom, chan):
-        arrays = (tile_key, depth, pos) + tuple(geom) + tuple(chan)
-        s = lax.sort(arrays, num_keys=2, is_stable=False)
-        st, sd, spos = s[0], s[1], s[2]
-        starts, counts = tile_ranges(st, num_tiles)
-        ne = st.shape[0]
+        if bits_z > 0:
+            key = fuse_tile_depth_key(tile_key, depth, bits_z)
+            if quantized_depth:
+                arrays = (key, pos) + tuple(geom) + tuple(chan)
+                s = lax.sort(arrays, num_keys=1, is_stable=False)
+                sk, spos = s[0], s[1]
+                sd = dequantize_depth_key(sk, bits_z)
+                payload = s[2:]
+            else:
+                arrays = (key, depth, pos) + tuple(geom) + tuple(chan)
+                s = lax.sort(arrays, num_keys=1, is_stable=False)
+                sk, sd, spos = s[0], s[1], s[2]
+                payload = s[3:]
+            bounds = jnp.searchsorted(
+                sk, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits_z),
+                side="left").astype(jnp.int32)
+            starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]
+        else:
+            arrays = (tile_key, depth, pos) + tuple(geom) + tuple(chan)
+            s = lax.sort(arrays, num_keys=2, is_stable=False)
+            st, sd, spos = s[0], s[1], s[2]
+            payload = s[3:]
+            starts, counts = tile_ranges(st, num_tiles)
+        ne = spos.shape[0]
         ne_pad = (-(-ne // chunk) + 1) * chunk  # +1 chunk DMA-overrun slack
         pad = ne_pad - ne
-        rows = list(s[3:9])                        # x, y, ca, cb, cc, op
-        rows += [jnp.zeros_like(st, jnp.float32)] * (GEOM_ROWS - 6)
+        rows = list(payload[:6])                   # x, y, ca, cb, cc, op
+        rows += [jnp.zeros_like(sd, jnp.float32)] * (GEOM_ROWS - 6)
         geom_t = jnp.pad(jnp.stack(rows, 0), ((0, 0), (0, pad)))
-        vrows = list(s[9:]) + [sd, jnp.ones_like(sd)]
+        vrows = list(payload[6:]) + [sd, jnp.ones_like(sd)]
         vrows += [jnp.zeros_like(sd)] * (cv_pad - cv)
         vals_t = jnp.pad(jnp.stack(vrows, 0), ((0, 0), (0, pad)))
         return geom_t, vals_t, spos, starts, counts
@@ -117,7 +180,8 @@ def _untile(x, grid_h, grid_w, th, tw, h, w, c):
 def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   opacity: jnp.ndarray, bg: jnp.ndarray, *,
                   tile_h: int = 16, tile_w: int = 16, chunk: int = 128,
-                  max_tiles_per_gaussian: int = 8
+                  max_tiles_per_gaussian: int = 8,
+                  fused_key: bool = True, depth_mode: str = "quantized"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -150,8 +214,10 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     chan = tuple(bcast(colors_t[c]) for c in range(n_chan))
     pos = lax.broadcasted_iota(jnp.int32, (1, k_cap * n), 1)[0]
 
+    bits_z = depth_key_bits(num_tiles) if fused_key else 0
     composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
-                                n_chan)
+                                n_chan, bits_z,
+                                bits_z > 0 and depth_mode == "quantized")
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

@@ -31,14 +31,26 @@ def collate(frames) -> Dict:
 
 
 def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
-                       axis: str = "data"):
+                       axis: str = "data", reduce: str = "pmean"):
     """Build a jitted DP train step.
 
     The returned function takes a camera batch whose leading axis is divisible
     by the mesh's `axis` size; params/opt_state/variables are replicated.
+
+    reduce:
+      "pmean"        — all-reduce gradients, replicated Adam (baseline).
+      "psum_scatter" — ZeRO-style: per-gaussian gradients reduce-scattered
+        over the axis, Adam runs on each device's 1/K row-shard, updated
+        params all-gathered. Halves the per-step ICI bytes vs pmean
+        (reduce_scatter + all_gather vs all_reduce counted per leaf at the
+        same total, but the optimizer math and its memory traffic shard 1/K,
+        and XLA overlaps the reduce_scatter with the remaining backward —
+        the BASELINE.md "grad all-reduce overlapped with backward" target).
+        Requires capacity % axis_size == 0.
     """
 
-    def local_grads(params, probe, batch, variables, is_initial):
+    def local_grads(params, probe, batch, variables, is_initial,
+                    reduce_gp=True):
         f = functools.partial(compute_loss, is_initial=is_initial, cfg=cfg,
                               rcfg=rcfg)
 
@@ -51,8 +63,8 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
 
         (loss, aux), (gp, gprobe) = jax.value_and_grad(
             mean_loss, argnums=(0, 1), has_aux=True)(params, probe)
-        # cross-device reduction: grads/loss averaged, radii maxed
-        gp = jax.lax.pmean(gp, axis)
+        if reduce_gp:  # pmean path; psum_scatter reduces in local_step
+            gp = jax.lax.pmean(gp, axis)
         gprobe = jax.lax.pmean(gprobe, axis)
         loss = jax.lax.pmean(loss, axis)
         aux = {"radii": jax.lax.pmax(aux["radii"], axis),
@@ -60,25 +72,83 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
                "n_dropped": jax.lax.psum(aux["n_dropped"], axis)}
         return loss, aux, gp, gprobe
 
+    k_dev = mesh.shape[axis]
+
+    def local_step(params, probe, batch, variables, opt_mu, opt_nu,
+                   opt_step, lrs, is_initial):
+        """Whole step inside shard_map for the psum_scatter mode: grads
+        reduce-scattered, Adam on the 1/K row shard, params all-gathered."""
+        loss, aux, gp, gprobe = local_grads(params, probe, batch, variables,
+                                            is_initial, reduce_gp=False)
+        alive = variables["alive"]
+        cap = alive.shape[0]
+        shard = cap // k_dev
+        d = jax.lax.axis_index(axis)
+
+        def scatter(v):
+            return jax.lax.psum_scatter(v, axis, scatter_dimension=0,
+                                        tiled=True) / k_dev
+        gp_sh, p_sh, mu_sh, nu_sh = {}, {}, {}, {}
+        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, d * shard, shard)
+        for k, v in gp.items():
+            if k in G.CAMERA_KEYS:
+                gp_sh[k] = jax.lax.pmean(v, axis)
+                p_sh[k], mu_sh[k], nu_sh[k] = params[k], opt_mu[k], opt_nu[k]
+            else:
+                m = sl(alive).reshape((-1,) + (1,) * (v.ndim - 1))
+                gp_sh[k] = jnp.where(m, scatter(v), 0.0)
+                p_sh[k], mu_sh[k], nu_sh[k] = sl(params[k]), sl(opt_mu[k]), \
+                    sl(opt_nu[k])
+        new_p_sh, new_opt_sh = optim.step(
+            p_sh, gp_sh, optim.AdamState(mu=mu_sh, nu=nu_sh, step=opt_step),
+            lrs)
+        new_params, new_mu, new_nu = {}, {}, {}
+        for k in gp:
+            if k in G.CAMERA_KEYS:
+                new_params[k], new_mu[k], new_nu[k] = \
+                    new_p_sh[k], new_opt_sh.mu[k], new_opt_sh.nu[k]
+            else:
+                ag = lambda v: jax.lax.all_gather(v, axis, tiled=True)
+                new_params[k] = ag(new_p_sh[k])
+                new_mu[k] = ag(new_opt_sh.mu[k])
+                new_nu[k] = ag(new_opt_sh.nu[k])
+        return loss, aux, gprobe, new_params, new_mu, new_nu, new_opt_sh.step
+
     @functools.partial(jax.jit, static_argnames=("is_initial",))
     def dp_train_step(params, opt_state, variables, batch, lrs,
                       is_initial: bool):
         probe = jnp.zeros((variables["alive"].shape[0], 2), jnp.float32)
-        sharded = shard_map(
-            functools.partial(local_grads, is_initial=is_initial),
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis), P()),
-            out_specs=(P(), P(), P(), P()),
-            # the compositing scan carries replicated-initialized state that
-            # combines with per-device camera data; skip the vma typecheck
-            check_vma=False,
-        )
-        loss, aux, gp, gprobe = sharded(params, probe, batch, variables)
-        alive = variables["alive"]
-        gp = {k: (v if k in G.CAMERA_KEYS else jnp.where(
-            alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0))
-            for k, v in gp.items()}
-        new_params, new_opt = optim.step(params, gp, opt_state, lrs)
+        if reduce == "psum_scatter":
+            assert variables["alive"].shape[0] % k_dev == 0, \
+                "capacity must divide by the data-axis size"
+            sharded = shard_map(
+                functools.partial(local_step, is_initial=is_initial),
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P(), P(), P()),
+                check_vma=False,
+            )
+            loss, aux, gprobe, new_params, new_mu, new_nu, new_step = \
+                sharded(params, probe, batch, variables, opt_state.mu,
+                        opt_state.nu, opt_state.step, lrs)
+            new_opt = optim.AdamState(mu=new_mu, nu=new_nu, step=new_step)
+        else:
+            sharded = shard_map(
+                functools.partial(local_grads, is_initial=is_initial),
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P()),
+                out_specs=(P(), P(), P(), P()),
+                # the compositing scan carries replicated-initialized state
+                # that combines with per-device camera data; skip the vma
+                # typecheck
+                check_vma=False,
+            )
+            loss, aux, gp, gprobe = sharded(params, probe, batch, variables)
+            alive = variables["alive"]
+            gp = {k: (v if k in G.CAMERA_KEYS else jnp.where(
+                alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0))
+                for k, v in gp.items()}
+            new_params, new_opt = optim.step(params, gp, opt_state, lrs)
         new_vars = densify_mod.accumulate_stats(variables, gprobe,
                                                 aux["radii"])
         metrics = {"loss": loss, "psnr": aux["psnr"],

@@ -24,10 +24,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dynamic3dgaussians_tpu.ops.binning import emit_pairs, tile_ranges
+from dynamic3dgaussians_tpu.ops.binning import emit_pairs
 from dynamic3dgaussians_tpu.ops.camera import Camera
-from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import \
-    pallas_composite_tiles
 from dynamic3dgaussians_tpu.ops.projection import project
 from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig
 from dynamic3dgaussians_tpu.ops.sorted_raster import _untile
@@ -67,33 +65,25 @@ def make_tile_sharded_render(cam: Camera, mesh: Mesh, axis: str = "x",
 
         colors_t = colors.T
         # the kernel derives pixel coords from its LOCAL tile index, so the
-        # gaussian y coordinate must be expressed in stripe-local pixels
+        # gaussian y coordinate must be expressed in stripe-local pixels and
+        # tile keys in stripe-local ids (off-stripe pairs -> sentinel); the
+        # custom_vjp composite (sort -> kernel -> reverse kernel -> unsort)
+        # then makes the stripe fully differentiable.
         y_local = proj.y2d - (d * rows_local * th).astype(jnp.float32)
-        arrays = (tile_key, bcast(proj.depth),
-                  bcast(proj.x2d), bcast(y_local), bcast(proj.conic_a),
-                  bcast(proj.conic_b), bcast(proj.conic_c), bcast(op)) + \
-            tuple(bcast(colors_t[c]) for c in range(n_chan))
-        s = jax.lax.sort(arrays, num_keys=2, is_stable=False)
-        starts, counts = tile_ranges(s[0], num_tiles)
-        ne = s[0].shape[0]
-        ne_pad = (-(-ne // chunk) + 1) * chunk
-        pad = ne_pad - ne
-        from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import GEOM_ROWS
-        geom_rows = list(s[2:8]) + [jnp.zeros_like(s[1])] * (GEOM_ROWS - 6)
-        geom_t = jnp.pad(jnp.stack(geom_rows, 0), ((0, 0), (0, pad)))
-        cv = n_chan + 2
-        cv_pad = -(-cv // 8) * 8
-        vrows = list(s[8:]) + [s[1], jnp.ones_like(s[1])]
-        vrows += [jnp.zeros_like(s[1])] * (cv_pad - cv)
-        vals_t = jnp.pad(jnp.stack(vrows, 0), ((0, 0), (0, pad)))
-
-        # this device's stripe of the tile grid
         t0 = d * tiles_local
-        st_local = jax.lax.dynamic_slice_in_dim(starts, t0, tiles_local)
-        ct_local = jax.lax.dynamic_slice_in_dim(counts, t0, tiles_local)
-        raw, _, _ = pallas_composite_tiles(
-            geom_t, vals_t, st_local, ct_local, num_tiles=tiles_local,
-            grid_w=grid_w, tile_h=th, tile_w=tw, chunk=chunk)
+        key_local = jnp.where(
+            (tile_key >= t0) & (tile_key < t0 + tiles_local),
+            tile_key - t0, tiles_local)
+        geom = (bcast(proj.x2d), bcast(y_local), bcast(proj.conic_a),
+                bcast(proj.conic_b), bcast(proj.conic_c), bcast(op))
+        chan = tuple(bcast(colors_t[c]) for c in range(n_chan))
+        depth_b = bcast(proj.depth)
+        pos = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cfg.max_tiles_per_gaussian * n), 1)[0]
+        from dynamic3dgaussians_tpu.ops.sorted_raster import _make_composite
+        composite = _make_composite(tiles_local, grid_w, th, tw, chunk,
+                                    n_chan)
+        raw = composite(key_local, depth_b, pos, geom, chan)
         alpha_t = raw[..., n_chan + 1]
         chan_t = raw[..., :n_chan] + (1.0 - alpha_t[..., None]) * bg
         stripe_h = rows_local * th

@@ -148,3 +148,108 @@ def test_tile_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["depth"]),
                                np.asarray(single.depth), atol=1e-3,
                                rtol=1e-4)
+
+
+def test_dp_psum_scatter_matches_pmean(world):
+    """ZeRO-style reduce-scatter + sharded Adam + all-gather must produce
+    the same step as the replicated pmean baseline."""
+    scene, dataset, params, variables = world
+    cfg = TrainConfig(raster=RS, capacity=256)
+    rcfg = raster_config(cfg)
+    mesh = make_mesh((8,), ("data",))
+    step_pm = make_dp_train_step(cfg, rcfg, mesh, reduce="pmean")
+    step_ps = make_dp_train_step(cfg, rcfg, mesh, reduce="psum_scatter")
+    batch = collate(dataset[0])
+    opt_state = optim.init(params)
+    lrs = {k: jnp.float32(0.01) for k in params}
+
+    p_a, o_a, v_a, m_a = step_pm(params, opt_state, variables, batch, lrs,
+                                 True)
+    p_b, o_b, v_b, m_b = step_ps(params, opt_state, variables, batch, lrs,
+                                 True)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    for k in p_a:
+        np.testing.assert_allclose(np.asarray(p_a[k]), np.asarray(p_b[k]),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(o_a.mu[k]),
+                                   np.asarray(o_b.mu[k]),
+                                   atol=2e-5, rtol=1e-4)
+    assert int(o_b.step) == int(o_a.step)
+
+
+def test_depth_sharded_gradients_match_single_device():
+    """Backward THROUGH the ordered cross-device merge (VERDICT r1 item 5):
+    d(loss)/d(params) of the depth-sharded render must equal the
+    single-device gradients."""
+    import jax
+    from jax.sharding import Mesh
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.parallel.gaussian_shard import (
+        make_depth_sharded_render)
+    from tests.scenes import lookat_camera, random_scene
+
+    cam, _, _ = lookat_camera(w=48, h=32, f=40.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(96, seed=11)
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=64,
+                       max_tiles_per_gaussian=32, max_per_tile=512,
+                       pairs_per_gaussian=32)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    sharded_fn = make_depth_sharded_render(cam, mesh, axis="model",
+                                           config=cfg, method="tiled")
+
+    ct = jnp.asarray(np.random.RandomState(0).normal(
+        size=(32, 48, 3)).astype(np.float32))
+
+    def loss_single(m, c, o):
+        out = render(cam, m, c, o, args[3], args[4], config=cfg,
+                     method="tiled")
+        return jnp.sum(out.rgb * ct) + jnp.sum(out.depth) * 0.1
+
+    def loss_sharded(m, c, o):
+        out = sharded_fn(m, c, o, args[3], args[4])
+        return jnp.sum(out["rgb"] * ct) + jnp.sum(out["depth"]) * 0.1
+
+    g_s = jax.grad(loss_single, argnums=(0, 1, 2))(*args[:3])
+    g_d = jax.grad(loss_sharded, argnums=(0, 1, 2))(*args[:3])
+    for a, b, name in zip(g_s, g_d, ("means", "colors", "opac")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+def test_tile_sharded_gradients_match_single_device():
+    """Backward through the tile-stripe all_gather merge."""
+    import jax
+    from jax.sharding import Mesh
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.parallel.tile_shard import (
+        make_tile_sharded_render)
+    from tests.scenes import lookat_camera, random_scene
+
+    cam, _, _ = lookat_camera(w=64, h=64, f=50.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(80, seed=13)
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=64,
+                       max_tiles_per_gaussian=32, max_per_tile=512,
+                       pairs_per_gaussian=32)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    fn = make_tile_sharded_render(cam, mesh, axis="x", config=cfg)
+
+    ct = jnp.asarray(np.random.RandomState(1).normal(
+        size=(64, 64, 3)).astype(np.float32))
+
+    def loss_single(m, c, o):
+        out = render(cam, m, c, o, args[3], args[4], config=cfg,
+                     method="pallas")
+        return jnp.sum(out.rgb * ct)
+
+    def loss_sharded(m, c, o):
+        out = fn(m, c, o, args[3], args[4])
+        return jnp.sum(out["rgb"] * ct)
+
+    g_s = jax.grad(loss_single, argnums=(0, 1, 2))(*args[:3])
+    g_d = jax.grad(loss_sharded, argnums=(0, 1, 2))(*args[:3])
+    for a, b, name in zip(g_s, g_d, ("means", "colors", "opac")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
+                                   rtol=1e-3, err_msg=name)
