@@ -175,18 +175,22 @@ def load_feature_map(out_dir: str, frame: int) -> np.ndarray:
 
 
 def make_dinov2_extractor(model_name: str = "dinov2_vits14_reg",
-                          patch: int = 14) -> Callable:
+                          patch: int = 14, model=None) -> Callable:
     """DINOv2 patch-feature extractor via torch hub (get_features.py:194).
 
     Requires the pretrained weights on disk (zero-egress environments cannot
-    download them) — raises a clear error otherwise.
+    download them) — raises a clear error otherwise. `model` injects a
+    ready torch module exposing DINOv2's `forward_features` contract
+    (golden tests drive the wrapper's normalization/crop/layout conventions
+    through a stub this way).
     """
-    try:
-        import torch
-        model = torch.hub.load("facebookresearch/dinov2", model_name)
-    except Exception as e:  # pragma: no cover - env-dependent
-        raise RuntimeError(
-            f"DINOv2 unavailable ({e}); pass a custom extract_fn instead")
+    if model is None:
+        try:
+            import torch
+            model = torch.hub.load("facebookresearch/dinov2", model_name)
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                f"DINOv2 unavailable ({e}); pass a custom extract_fn instead")
     model.eval()
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)

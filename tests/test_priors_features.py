@@ -8,7 +8,8 @@ import numpy as np
 
 from dynamic3dgaussians_tpu.data import features as F
 from dynamic3dgaussians_tpu.data import tools
-from dynamic3dgaussians_tpu.eval.lpips import init_params, lpips_fn
+from dynamic3dgaussians_tpu.eval.lpips import (
+    lpips_fn, random_features_params)
 from dynamic3dgaussians_tpu.models.motion_bases import (
     coefs_from_feature_clusters, spectral_cluster)
 from dynamic3dgaussians_tpu.train import flow as FL
@@ -82,7 +83,7 @@ def test_feature_pyramid_and_pca(tmp_path):
 
 
 def test_lpips_basic_properties():
-    params = init_params()
+    params = random_features_params()
     rng = np.random.RandomState(0)
     a = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
     b = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
