@@ -14,26 +14,30 @@ catastrophic-cancellation path we avoid).
 Per chunk k (reverse), with d_acc the tile's output cotangent:
 
     logT_start = logT_end - sum(log1p(-alpha))
-    Texc    = exp(logT_start + logs @ U)       U = strict upper ones (MXU)
+    Texc    = exp(logT_start + excl-cumsum(logs))      (VPU scan)
     w       = alpha * Texc
-    dw      = d_acc @ vals                     (MXU)
-    d_vals  = d_acc^T-contraction with w       (MXU)
+    dw      = d_acc @ vals                             (MXU)
+    d_vals  = d_acc^T-contraction with w               (MXU)
     u       = dw * w
-    suffix  = u @ L + carry                    L = strict lower ones (MXU)
+    suffix  = (rowsum(u) - incl-cumsum(u)) + carry     (VPU scan)
     d_alpha = dw * Texc - suffix / (1 - alpha)
     ... chain through the alpha clamp/eps-gate to d{opacity, conic, x, y}
-    carry  += row-sum(u)
+    carry  += rowsum(u)
 
 The per-pixel `suffix` carry is the exact reverse-mode term for alpha's
 effect on every LATER gaussian's transmittance — the quantity the CUDA
-kernel accumulates per thread via `last_alpha` (backward.cu:616-649); here it
-is one (P,1) vector plus one triangular matmul per chunk, and all cross-pair
-reductions are deterministic (no atomicAdd — SURVEY.md §5.2).
+kernel accumulates per thread via `last_alpha` (backward.cu:616-649); here
+both triangular terms are lane-axis prefix sums on the VPU (the earlier
+MXU triangular-matmul formulation dominated kernel time at f32 precision),
+and all cross-pair reductions are deterministic (no atomicAdd — SURVEY.md
+§5.2).
 
 Per-pair gradients are written back at the pair's slot in the sorted buffer
 as ONE fused (8 + CV, chunk) block per chunk, double-buffered; reduction
 pair->gaussian happens outside via an unsort (payload sort by emission
-position) + K-axis sum (ops/sorted_raster.py), never a scatter.
+position) + K-axis sum (ops/sorted_raster.py), never a scatter. Input
+records stream from the same merged (8 + CV, NE) table the forward reads —
+one DMA per chunk.
 
 Boundary handling: tile segments are not chunk-aligned, so a tile's first
 (down-aligned) chunk can cover the previous tile's last pairs. TPU grid steps
@@ -53,15 +57,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
-from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (GEOM_ROWS,
-                                                          tile_pixel_coords)
+from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
+    GEOM_ROWS, PRECISIONS, lane_inclusive_scan, tile_pixel_coords)
 
 
-def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
+def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
                 dacc_ref, logt_ref, dout_hbm,
-                geom_vmem, vals_vmem, dout_scr, old_scr,
+                rec_vmem, dout_scr, old_scr,
                 in_sems, out_sems, rmw_sem,
-                *, chunk, tile_h, tile_w, grid_w, n_val):
+                *, chunk, tile_h, tile_w, grid_w, n_val, mxu_prec,
+                interpret, scan_impl):
     i = pl.program_id(0)
     start = starts_ref[i]
     count = counts_ref[i]
@@ -71,20 +76,13 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
     n_chunks = (shift + count + chunk - 1) // chunk
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    upper = (rows < cols).astype(jnp.float32)
-    lower = (rows > cols).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    n_out = GEOM_ROWS + n_val
 
     def in_dma(slot, k):
         off = pl.multiple_of(base + k * chunk, chunk)
-        return (
-            pltpu.make_async_copy(geom_hbm.at[:, pl.ds(off, chunk)],
-                                  geom_vmem.at[slot], in_sems.at[slot, 0]),
-            pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, chunk)],
-                                  vals_vmem.at[slot], in_sems.at[slot, 1]),
-        )
+        return pltpu.make_async_copy(rec_hbm.at[:, pl.ds(off, chunk)],
+                                     rec_vmem.at[slot], in_sems.at[slot])
 
     def out_dma(oslot, k):
         off = pl.multiple_of(base + k * chunk, chunk)
@@ -112,8 +110,7 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
     @pl.when(n_active > 0)
     def _():
         d_acc = dacc_ref[0]                               # (P, CV)
-        for dma in in_dma((n_active - 1) % 2, n_active - 1):
-            dma.start()
+        in_dma((n_active - 1) % 2, n_active - 1).start()
 
         def body(m, carry):
             log_t_end, s_carry = carry
@@ -123,13 +120,11 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
 
             @pl.when(m + 1 < n_active)
             def _():
-                for dma in in_dma((k - 1) % 2, k - 1):
-                    dma.start()
-            for dma in in_dma(slot, k):
-                dma.wait()
+                in_dma((k - 1) % 2, k - 1).start()
+            in_dma(slot, k).wait()
 
             # recompute alpha exactly as the forward did
-            g = geom_vmem[slot]
+            g = rec_vmem[slot, :GEOM_ROWS]
             x, y = g[0:1, :], g[1:2, :]
             ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
             op = g[5:6, :]
@@ -145,24 +140,22 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
             alpha = jnp.where(alive, jnp.minimum(ALPHA_MAX, raw), 0.0)
 
             logs = jnp.log1p(-alpha)
-            cum_excl = jax.lax.dot_general(
-                logs, upper, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            s_k = cum_excl[:, chunk - 1:chunk] + logs[:, chunk - 1:chunk]
+            cum_incl = lane_inclusive_scan(logs, chunk, interpret,
+                                           scan_impl)
+            cum_excl = cum_incl - logs
+            s_k = cum_incl[:, chunk - 1:chunk]
             log_t_start = log_t_end - s_k
             t_exc = jnp.exp(log_t_start + cum_excl)       # (P, G)
             w = alpha * t_exc
-            vals = vals_vmem[slot]                        # (CV, G)
+            vals = rec_vmem[slot, GEOM_ROWS:]             # (CV, G)
             dw = jax.lax.dot_general(
                 d_acc, vals, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (P, G)
+                precision=mxu_prec)                       # (P, G)
             u = dw * w
-            suffix = jax.lax.dot_general(
-                u, lower, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + s_carry
+            u_incl = lane_inclusive_scan(u, chunk, interpret, scan_impl)
+            u_tot = u_incl[:, chunk - 1:chunk]
+            suffix = (u_tot - u_incl) + s_carry           # strict lower sum
             d_alpha = dw * t_exc - suffix / (1.0 - alpha)
             d_raw = jnp.where(alive & (raw <= ALPHA_MAX), d_alpha, 0.0)
             d_power = jnp.where(p0 < 0.0, d_raw * raw, 0.0)
@@ -188,7 +181,7 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
             dout_scr[oslot, GEOM_ROWS:] = jax.lax.dot_general(
                 d_acc, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (CV, G)
+                precision=mxu_prec)                       # (CV, G)
 
             # boundary accumulation: first chunk overlaps the previous tile
             @pl.when((k == 0) & (shift > 0))
@@ -202,7 +195,7 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
 
             out_dma(oslot, k).start()
 
-            s_carry = s_carry + jnp.sum(u, axis=1, keepdims=True)
+            s_carry = s_carry + u_tot
             return log_t_start, s_carry
 
         jax.lax.fori_loop(0, n_active, body,
@@ -217,19 +210,22 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, geom_hbm, vals_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
-                                             "tile_w", "chunk"))
-def pallas_composite_tiles_bwd(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
+                                             "tile_w", "chunk", "precision",
+                                             "scan_impl"))
+def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
                                tile_starts: jnp.ndarray,
                                tile_counts: jnp.ndarray,
                                n_active: jnp.ndarray,
                                log_t: jnp.ndarray,
                                d_raw: jnp.ndarray, *, num_tiles: int,
                                grid_w: int, tile_h: int, tile_w: int,
-                               chunk: int = 128):
+                               chunk: int = 128, precision: str = "highest",
+                               scan_impl: str = "matmul_highest"):
     """Run the backward tile kernel.
 
     Args:
-      geom_t/vals_t/tile_starts/tile_counts: the forward kernel's inputs.
+      rec_t/tile_starts/tile_counts: the forward kernel's inputs (merged
+        (8 + CV, NE_pad) record table).
       n_active: (num_tiles,) int32 processed-chunk counts from the forward.
       log_t: (num_tiles, P, 1) final log-transmittance from the forward.
       d_raw: (num_tiles, P, CV) cotangent of the forward's raw accumulators.
@@ -240,36 +236,37 @@ def pallas_composite_tiles_bwd(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
       real pair are never written — mask before consuming.
     """
     p = tile_h * tile_w
-    n_val = vals_t.shape[0]
-    ne_pad = geom_t.shape[1]
+    n_rows = rec_t.shape[0]
+    n_val = n_rows - GEOM_ROWS
+    ne_pad = rec_t.shape[1]
     n_out = GEOM_ROWS + n_val
+    interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_bwd_kernel, chunk=chunk, tile_h=tile_h,
-                               tile_w=tile_w, grid_w=grid_w, n_val=n_val)
+                               tile_w=tile_w, grid_w=grid_w, n_val=n_val,
+                               mxu_prec=PRECISIONS[precision],
+                               interpret=interpret, scan_impl=scan_impl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec((1, p, n_val), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, n_val, chunk), jnp.float32),
+            pltpu.VMEM((2, n_rows, chunk), jnp.float32),
             pltpu.VMEM((2, n_out, chunk), jnp.float32),
             pltpu.VMEM((n_out, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, ne_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, tile_counts, n_active, geom_t, vals_t, d_raw, log_t)
+    )(tile_starts, tile_counts, n_active, rec_t, d_raw, log_t)

@@ -6,8 +6,8 @@ but mapped to TPU hardware instead of translated:
 
   * the tile's depth-sorted gaussian records live as ONE contiguous segment
     [start, start+count) of the (tile, depth)-sorted pair buffer in HBM, in a
-    feature-major layout — geom (8, NE), vals (CV, NE) — so every DMA is a
-    lane slice and no in-kernel transposes are needed,
+    feature-major layout — one merged (8 + CV, NE) record table (geometry
+    rows on top, value rows below) so each chunk is ONE DMA, not two,
   * per-tile segments are NOT chunk-aligned; the kernel aligns each DMA down
     to a chunk boundary and masks the out-of-range lanes (this removes the
     re-layout pass an aligned scheme would need — a ~1M-slot gather that
@@ -16,10 +16,11 @@ but mapped to TPU hardware instead of translated:
     analogue of the staged shared-memory batches, forward.cu:311-342),
   * per chunk, the (P, G) alpha matrix is pure VPU work (pixels on sublanes,
     gaussians on lanes),
-  * the front-to-back transmittance recurrence becomes
-    exp(logs @ U) with U strictly-upper-triangular ones — a (P,G) x (G,G)
-    matmul on the MXU instead of a sequential per-pixel loop,
-  * channel accumulation is a second MXU matmul: acc += w @ vals^T,
+  * the front-to-back transmittance recurrence is an exclusive lane-axis
+    prefix sum of log(1-alpha) — a VPU cumsum, far cheaper than the
+    equivalent (P,G) x (G,G) strict-upper-triangular matmul at f32 MXU
+    precision (which dominated earlier kernel profiles),
+  * channel accumulation stays an MXU matmul: acc += w @ vals^T,
   * early termination when every pixel's transmittance is dead
     (forward.cu:367-371's per-pixel `done`, lifted to tile granularity).
 
@@ -46,6 +47,62 @@ from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 GEOM_ROWS = 8  # [x, y, conic_a, conic_b, conic_c, opacity, pad, pad]
 T_DEAD = 1e-4  # early-termination threshold (forward.cu:367-371)
 LOG_T_DEAD = -9.210340371976182  # log(T_DEAD)
+
+# Mosaic supports only HIGHEST/DEFAULT dot precisions; after the cumsum
+# rewrite the kernels' matmuls are (P,G)@(G,CV)-sized and negligible, so
+# "high" simply aliases the bit-tight HIGHEST.
+PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGHEST,
+              "default": jax.lax.Precision.DEFAULT}
+
+
+def lane_inclusive_scan(x, chunk, interpret, impl="matmul_split3"):
+    """Inclusive prefix sum along the lane (chunk) axis.
+
+    Mosaic has no cumsum lowering, so compiled kernels choose (measured on
+    v5e at the bench shape):
+      * "matmul_split3": x split into 3 bf16 rounds, each multiplied by the
+        constant lower-triangular ones matrix in ONE bf16 MXU pass (the
+        {0,1} matrix is bf16-exact, so each pass is exact given its input
+        round) — ~24-bit-mantissa result at half the cost of a HIGHEST dot.
+      * "matmul_highest": single f32 HIGHEST dot (bit-tight, 6 bf16 passes).
+      * "roll_scan": Hillis-Steele pltpu.roll scan — measured SLOWER than
+        the matmuls on v5e (lane rolls are not cheap in Mosaic); kept for
+        comparison.
+    Interpret mode (CPU tests) uses jnp.cumsum — same math, accumulation
+    order differs by ~1 ulp per term.
+    """
+    if interpret:
+        return jnp.cumsum(x, axis=1)
+    if impl == "roll_scan":
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        d = 1
+        while d < chunk:
+            shifted = pltpu.roll(x, d, axis=1)
+            x = x + jnp.where(lane >= d, shifted, 0.0)
+            d *= 2
+        return x
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    lower_incl = (rows <= cols)
+    if impl == "matmul_highest":
+        tri = lower_incl.astype(jnp.float32)
+        return jax.lax.dot_general(
+            x, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    assert impl == "matmul_split3", impl
+    tri16 = lower_incl.astype(jnp.bfloat16)
+    a1 = x.astype(jnp.bfloat16)
+    r1 = x - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bdot(a):
+        return jax.lax.dot_general(
+            a, tri16, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return (bdot(a3) + bdot(a2)) + bdot(a1)
 
 
 def tile_pixel_coords(i, grid_w, tile_h, tile_w):
@@ -78,10 +135,11 @@ def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
 
 
-def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm,
+def _kernel(starts_ref, counts_ref, rec_hbm,
             out_ref, logt_ref, nact_ref,
-            geom_vmem, vals_vmem, logt_scr, acc_scr, sems,
-            *, chunk, tile_h, tile_w, grid_w, n_val):
+            rec_vmem, logt_scr, acc_scr, sems,
+            *, chunk, tile_h, tile_w, grid_w, n_val, mxu_prec, interpret,
+            scan_impl):
     i = pl.program_id(0)
     start = starts_ref[i]
     count = counts_ref[i]
@@ -95,24 +153,14 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm,
     acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
     nact_ref[0] = jnp.zeros((1, 1), jnp.int32)
 
-    # strictly-upper-triangular ones: exclusive prefix along the chunk axis
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    upper = (rows < cols).astype(jnp.float32)
-
     def get_dma(slot, k):
         off = pl.multiple_of(base + k * chunk, chunk)
-        return (
-            pltpu.make_async_copy(geom_hbm.at[:, pl.ds(off, chunk)],
-                                  geom_vmem.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, chunk)],
-                                  vals_vmem.at[slot], sems.at[slot, 1]),
-        )
+        return pltpu.make_async_copy(rec_hbm.at[:, pl.ds(off, chunk)],
+                                     rec_vmem.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
-        for dma in get_dma(0, 0):
-            dma.start()
+        get_dma(0, 0).start()
 
         def cond(k):
             return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG_T_DEAD)
@@ -122,64 +170,65 @@ def _kernel(starts_ref, counts_ref, geom_hbm, vals_hbm,
 
             @pl.when(k + 1 < n_chunks)
             def _():
-                for dma in get_dma((k + 1) % 2, k + 1):
-                    dma.start()
+                get_dma((k + 1) % 2, k + 1).start()
 
-            for dma in get_dma(slot, k):
-                dma.wait()
+            get_dma(slot, k).wait()
 
-            alpha = chunk_alpha_masked(geom_vmem[slot], px, py,
+            alpha = chunk_alpha_masked(rec_vmem[slot, :GEOM_ROWS], px, py,
                                        shift - k * chunk,
                                        shift + count - k * chunk, chunk)
             logs = jnp.log1p(-alpha)                  # (P, G)
-            cum_excl = jax.lax.dot_general(
-                logs, upper, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (P, G)
+            # exclusive prefix along the chunk axis as a VPU scan; the MXU
+            # triangular-matmul formulation costs ~an order of magnitude
+            # more at f32 precision
+            cum_incl = lane_inclusive_scan(logs, chunk, interpret,
+                                           scan_impl)
+            cum_excl = cum_incl - logs
             # transmittance kept purely in log space: exact under heavy
             # occlusion (no 1-alpha cancellation) and bitwise identical to
             # the backward kernel's reconstruction.
             tw = jnp.exp(cum_excl + logt_scr[:])       # (P, G)
             w = alpha * tw
             acc_scr[:] += jax.lax.dot_general(
-                w, vals_vmem[slot], (((1,), (1,)), ((), ())),
+                w, rec_vmem[slot, GEOM_ROWS:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (P, CV)
-            logt_scr[:] += (cum_excl[:, chunk - 1:chunk]
-                            + logs[:, chunk - 1:chunk])
+                precision=mxu_prec)                    # (P, CV)
+            logt_scr[:] += cum_incl[:, chunk - 1:chunk]
             return k + 1
 
         k_stop = jax.lax.while_loop(cond, body, jnp.int32(0))
         nact_ref[0] = jnp.full((1, 1), k_stop, jnp.int32)
 
         # Drain the dangling prefetch on early termination: chunk k_stop's
-        # DMAs were started by the last body iteration but never waited; a
+        # DMA was started by the last body iteration but never waited; a
         # leftover semaphore signal would corrupt the next grid step's waits.
         @pl.when(k_stop < n_chunks)
         def _():
-            for dma in get_dma(k_stop % 2, k_stop):
-                dma.wait()
+            get_dma(k_stop % 2, k_stop).wait()
 
     out_ref[0] = acc_scr[:]
     logt_ref[0] = logt_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
-                                             "tile_w", "chunk"))
-def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
+                                             "tile_w", "chunk", "precision",
+                                             "scan_impl"))
+def pallas_composite_tiles(rec_t: jnp.ndarray,
                            tile_starts: jnp.ndarray,
                            tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
-                           chunk: int = 128):
+                           chunk: int = 128, precision: str = "highest",
+                           scan_impl: str = "matmul_highest"):
     """Run the forward tile kernel.
 
     Args:
-      geom_t: (8, NE_pad) f32 rows [x, y, conic_a, conic_b, conic_c, opacity,
-        0, 0] in (tile, depth)-sorted pair order. NE_pad must be a multiple
-        of `chunk` with at least one chunk of slack past the last real pair
-        (the kernel's down-aligned DMAs may read up to chunk-1 slots past a
+      rec_t: (8 + CV, NE_pad) f32 merged record table in (tile, depth)-
+        sorted pair order: rows [0:8] = [x, y, conic_a, conic_b, conic_c,
+        opacity, 0, 0]; rows [8:] = [channels..., depth, 1(, pad)] with the
+        value-row count CV % 8 == 0. NE_pad must be a multiple of `chunk`
+        with at least one chunk of slack past the last real pair (the
+        kernel's down-aligned DMAs may read up to chunk-1 slots past a
         tile's segment; masked lanes contribute nothing).
-      vals_t: (CV, NE_pad) f32 channel rows [channels..., depth, 1], CV % 8 == 0.
       tile_starts / tile_counts: (num_tiles,) int32 segment per tile.
 
     Returns:
@@ -190,18 +239,20 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
     """
     p = tile_h * tile_w
     assert p % 8 == 0, "pallas path needs tile_h*tile_w % 8 == 0"
-    n_val = vals_t.shape[0]
+    n_rows = rec_t.shape[0]
+    n_val = n_rows - GEOM_ROWS
     assert n_val % 8 == 0, "pad vals channels to a multiple of 8"
-    assert geom_t.shape[0] == GEOM_ROWS
-    assert geom_t.shape[1] % chunk == 0
+    assert rec_t.shape[1] % chunk == 0
 
+    interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_kernel, chunk=chunk, tile_h=tile_h,
-                               tile_w=tile_w, grid_w=grid_w, n_val=n_val)
+                               tile_w=tile_w, grid_w=grid_w, n_val=n_val,
+                               mxu_prec=PRECISIONS[precision],
+                               interpret=interpret, scan_impl=scan_impl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec((1, p, n_val), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -211,15 +262,13 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, n_val, chunk), jnp.float32),
+            pltpu.VMEM((2, n_rows, chunk), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, n_val), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # CPU (tests) runs the TPU-semantics interpreter; real TPU compiles.
-    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -227,4 +276,4 @@ def pallas_composite_tiles(geom_t: jnp.ndarray, vals_t: jnp.ndarray,
                    jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
                    jax.ShapeDtypeStruct((num_tiles, 1, 1), jnp.int32)],
         interpret=interpret,
-    )(tile_starts, tile_counts, geom_t, vals_t)
+    )(tile_starts, tile_counts, rec_t)

@@ -67,6 +67,10 @@ class RasterConfig:
     fused_key: bool = flax.struct.field(pytree_node=False, default=True)
     depth_mode: str = flax.struct.field(pytree_node=False,
                                         default="quantized")
+    # MXU precision of the compositing matmuls: "highest" (bf16x6, bit-tight
+    # vs f32), "high" (bf16x3, ~f32 for these magnitudes, 2x faster MXU).
+    kernel_precision: str = flax.struct.field(pytree_node=False,
+                                              default="highest")
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -209,7 +213,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             h, w, proj, colors, op, bg, tile_h=th, tile_w=tw,
             chunk=cfg.chunk,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-            fused_key=cfg.fused_key, depth_mode=cfg.depth_mode)
+            fused_key=cfg.fused_key, depth_mode=cfg.depth_mode,
+            precision=cfg.kernel_precision)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

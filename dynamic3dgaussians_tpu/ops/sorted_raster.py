@@ -84,7 +84,8 @@ def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     chunk: int, n_chan: int, bits_z: int = 0,
-                    quantized_depth: bool = False):
+                    quantized_depth: bool = False,
+                    precision: str = "highest"):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -95,62 +96,70 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     cv = n_chan + 2
     cv_pad = -(-cv // 8) * 8
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
-              tile_w=tile_w, chunk=chunk)
+              tile_w=tile_w, chunk=chunk, precision=precision)
 
-    def _prepare(tile_key, depth, pos, geom, chan):
+    def _prepare(tile_key, depth, pos, geom, chan, *, with_pos=True):
+        """Sort + pack. with_pos=False (inference-only forward) drops the
+        emission-position backpointer row from the sort — it exists solely
+        for the backward's unsort, so pure renders save one payload row."""
+        pos_t = (pos,) if with_pos else ()
         if bits_z > 0:
             key = fuse_tile_depth_key(tile_key, depth, bits_z)
             if quantized_depth:
-                arrays = (key, pos) + tuple(geom) + tuple(chan)
+                arrays = (key,) + pos_t + tuple(geom) + tuple(chan)
                 s = lax.sort(arrays, num_keys=1, is_stable=False)
-                sk, spos = s[0], s[1]
+                sk = s[0]
+                spos = s[1] if with_pos else None
                 sd = dequantize_depth_key(sk, bits_z)
-                payload = s[2:]
+                payload = s[1 + len(pos_t):]
             else:
-                arrays = (key, depth, pos) + tuple(geom) + tuple(chan)
+                arrays = (key, depth) + pos_t + tuple(geom) + tuple(chan)
                 s = lax.sort(arrays, num_keys=1, is_stable=False)
-                sk, sd, spos = s[0], s[1], s[2]
-                payload = s[3:]
+                sk, sd = s[0], s[1]
+                spos = s[2] if with_pos else None
+                payload = s[2 + len(pos_t):]
             bounds = jnp.searchsorted(
                 sk, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits_z),
                 side="left").astype(jnp.int32)
             starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]
         else:
-            arrays = (tile_key, depth, pos) + tuple(geom) + tuple(chan)
+            arrays = (tile_key, depth) + pos_t + tuple(geom) + tuple(chan)
             s = lax.sort(arrays, num_keys=2, is_stable=False)
-            st, sd, spos = s[0], s[1], s[2]
-            payload = s[3:]
+            st, sd = s[0], s[1]
+            spos = s[2] if with_pos else None
+            payload = s[2 + len(pos_t):]
             starts, counts = tile_ranges(st, num_tiles)
-        ne = spos.shape[0]
+        ne = sd.shape[0]
         ne_pad = (-(-ne // chunk) + 1) * chunk  # +1 chunk DMA-overrun slack
         pad = ne_pad - ne
+        # ONE merged record table (geom rows on top, value rows below) so
+        # the kernels issue a single DMA per chunk
         rows = list(payload[:6])                   # x, y, ca, cb, cc, op
         rows += [jnp.zeros_like(sd, jnp.float32)] * (GEOM_ROWS - 6)
-        geom_t = jnp.pad(jnp.stack(rows, 0), ((0, 0), (0, pad)))
-        vrows = list(payload[6:]) + [sd, jnp.ones_like(sd)]
-        vrows += [jnp.zeros_like(sd)] * (cv_pad - cv)
-        vals_t = jnp.pad(jnp.stack(vrows, 0), ((0, 0), (0, pad)))
-        return geom_t, vals_t, spos, starts, counts
+        rows += list(payload[6:]) + [sd, jnp.ones_like(sd)]
+        rows += [jnp.zeros_like(sd)] * (cv_pad - cv)
+        rec_t = jnp.pad(jnp.stack(rows, 0), ((0, 0), (0, pad)))
+        return rec_t, spos, starts, counts
 
     @jax.custom_vjp
     def composite(tile_key, depth, pos, geom, chan):
-        geom_t, vals_t, _, starts, counts = _prepare(tile_key, depth, pos,
-                                                     geom, chan)
-        raw, _, _ = pallas_composite_tiles(geom_t, vals_t, starts, counts,
-                                           **kw)
+        # custom_vjp primal path: runs only when NOT being differentiated
+        rec_t, _, starts, counts = _prepare(
+            tile_key, depth, pos, geom, chan, with_pos=False)
+        raw, _, _ = pallas_composite_tiles(rec_t, starts, counts, **kw)
         return raw
 
     def composite_fwd(tile_key, depth, pos, geom, chan):
-        geom_t, vals_t, spos, starts, counts = _prepare(tile_key, depth, pos,
-                                                        geom, chan)
-        raw, log_t, n_active = pallas_composite_tiles(geom_t, vals_t, starts,
+        rec_t, spos, starts, counts = _prepare(tile_key, depth, pos,
+                                               geom, chan)
+        raw, log_t, n_active = pallas_composite_tiles(rec_t, starts,
                                                       counts, **kw)
-        return raw, (geom_t, vals_t, spos, starts, counts, log_t, n_active)
+        return raw, (rec_t, spos, starts, counts, log_t, n_active)
 
     def composite_bwd(res, d_raw):
-        geom_t, vals_t, spos, starts, counts, log_t, n_active = res
+        rec_t, spos, starts, counts, log_t, n_active = res
         d_out = pallas_composite_tiles_bwd(
-            geom_t, vals_t, starts, counts, n_active.reshape(-1), log_t,
+            rec_t, starts, counts, n_active.reshape(-1), log_t,
             d_raw, **kw)
         ne = spos.shape[0]
         # Slots past the last real pair were never written by the kernel.
@@ -181,7 +190,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   opacity: jnp.ndarray, bg: jnp.ndarray, *,
                   tile_h: int = 16, tile_w: int = 16, chunk: int = 128,
                   max_tiles_per_gaussian: int = 8,
-                  fused_key: bool = True, depth_mode: str = "quantized"
+                  fused_key: bool = True, depth_mode: str = "quantized",
+                  precision: str = "highest"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -217,7 +227,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     bits_z = depth_key_bits(num_tiles) if fused_key else 0
     composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
                                 n_chan, bits_z,
-                                bits_z > 0 and depth_mode == "quantized")
+                                bits_z > 0 and depth_mode == "quantized",
+                                precision)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

@@ -1,0 +1,141 @@
+"""BASELINE config 1-2 scale run: 30k init gaussians, 400x400, densify on.
+
+VERDICT r1 item 4: prove the capacity/masking design survives realistic N —
+not just 180-gaussian toy scenes. Builds a 30k-gaussian synthetic GT scene,
+renders 400x400 ground-truth views, then optimizes a noised init with the
+full train step (one-pass RGB+seg render, densification at the reference
+cadence, capacity growth enabled) and asserts PSNR climbs past a pinned
+threshold.
+
+CPU (tiled path):  PYTHONPATH=. PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python tools/scale_run.py --iters 150 --report 25
+TPU (pallas path): PYTHONPATH=.:/root/.axon_site \
+    python tools/scale_run.py --iters 2000 --report 100
+
+Writes a JSON log (PSNR trajectory, densify events, wall times) to
+artifacts/scale_run_<backend>.json; exits nonzero if PSNR does not climb.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=30_000)
+    ap.add_argument("--hw", type=int, default=400)
+    ap.add_argument("--cams", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--report", type=int, default=50)
+    ap.add_argument("--min_gain_db", type=float, default=2.0)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.utils.compile_cache import enable
+    enable()
+    from dynamic3dgaussians_tpu.data import synthetic
+    from dynamic3dgaussians_tpu.models import gaussians as G
+    from dynamic3dgaussians_tpu.train import optim
+    from dynamic3dgaussians_tpu.train import densify as densify_mod
+    from dynamic3dgaussians_tpu.train.config import RasterSettings, \
+        TrainConfig
+    from dynamic3dgaussians_tpu.train.trainer import (make_train_step,
+                                                      raster_config)
+
+    backend = jax.default_backend()
+    hw = args.hw
+    t0 = time.time()
+    scene = synthetic.make_gt_scene(n_fg=args.n // 2, n_bg=args.n // 2,
+                                    seed=0)
+    dataset, w2c, _ = synthetic.make_dataset(
+        scene, num_t=1, num_cams=args.cams, w=hw, h=hw, f=float(hw) * 0.9)
+    pt = synthetic.init_point_cloud(scene, noise=0.03)
+    t_data = time.time() - t0
+
+    cfg = TrainConfig(
+        num_timesteps=1, iters_first_timestep=args.iters,
+        capacity=G.round_capacity(args.n * 2),
+        densify_start=100, densify_every=100,
+        densify_end=min(args.iters, 5000), grow_capacity=True,
+        raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
+                              max_tiles_per_gaussian=8,
+                              pairs_per_gaussian=8, max_per_tile=1024))
+    rcfg = raster_config(cfg)
+    params, variables = G.init_params(pt, w2c,
+                                      capacity=cfg.capacity)
+    opt_state = optim.init(params)
+    step = make_train_step(cfg, rcfg)
+    densify_jit = jax.jit(densify_mod.densify)
+    lrs = {k: jnp.float32(v) for k, v in cfg.lrs.items()}
+    lrs = {k: lrs.get(k, jnp.float32(0.0)) for k in params}
+    lrs["means3D"] = lrs["means3D"] * float(variables["scene_radius"])
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    log = {"backend": backend, "n_init": args.n, "hw": hw,
+           "cams": args.cams, "iters": args.iters, "t_data_s": t_data,
+           "psnr": [], "densify": [], "n_dropped": 0}
+    t_train = time.time()
+    todo = []
+    for i in range(args.iters):
+        if not todo:
+            todo = list(rng.permutation(len(dataset[0])))
+        batch = dataset[0][todo.pop()]
+        params, opt_state, variables, metrics = step(
+            params, opt_state, variables, batch, lrs, True)
+        if cfg.densify_start <= i <= cfg.densify_end and \
+                i % cfg.densify_every == 0:
+            key, sub = jax.random.split(key)
+            new_state = densify_jit(params, variables, opt_state,
+                                    jnp.int32(i), sub)
+            dropped = int(new_state[3].n_dropped_capacity)
+            if dropped > 0:
+                cap = variables["alive"].shape[0]
+                needed = int(new_state[3].n_alive) + dropped
+                new_cap = G.round_capacity(max(2 * cap, needed))
+                params, variables, opt_state = G.grow_capacity(
+                    params, variables, new_cap, opt_state)
+                new_state = densify_jit(params, variables, opt_state,
+                                        jnp.int32(i), sub)
+            params, variables, opt_state, ds = new_state
+            log["densify"].append(
+                {"i": i, "alive": int(ds.n_alive),
+                 "cloned": int(ds.n_cloned), "split": int(ds.n_split),
+                 "pruned": int(ds.n_pruned),
+                 "dropped": int(ds.n_dropped_capacity),
+                 "capacity": int(variables["alive"].shape[0])})
+        if i % args.report == 0 or i == args.iters - 1:
+            p = float(metrics["psnr"])
+            log["psnr"].append({"i": i, "psnr": round(p, 3)})
+            log["n_dropped"] += int(metrics["n_dropped"])
+            print(f"iter {i}: psnr {p:.2f} alive "
+                  f"{int(jnp.sum(variables['alive']))}", flush=True)
+    log["t_train_s"] = round(time.time() - t_train, 1)
+    log["it_per_s"] = round(args.iters / log["t_train_s"], 2)
+
+    first, last = log["psnr"][0]["psnr"], log["psnr"][-1]["psnr"]
+    log["psnr_gain_db"] = round(last - first, 3)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", f"scale_run_{backend}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(log, f, indent=1)
+    print(f"wrote {out}: psnr {first:.2f} -> {last:.2f} "
+          f"({log['it_per_s']} it/s, dropped={log['n_dropped']})")
+    if last - first < args.min_gain_db:
+        raise SystemExit(
+            f"PSNR gain {last - first:.2f} dB < {args.min_gain_db}")
+
+
+if __name__ == "__main__":
+    main()
