@@ -188,17 +188,31 @@ def cmd_evaluate(args):
         frames = D.load_timestep(args.data_root, args.seq, md, t)
         for f in frames[:args.max_cams]:
             out = render_frame(params_at_t(stacked, t), f["camera"])
-            rows.append({
+            row = {
                 "t": t, "cam": int(f["cam_id"]),
                 "psnr": float(M.masked_psnr(jnp.clip(out.rgb, 0, 1),
                                             f["im"])),
                 "ssim": float(M.masked_ssim(jnp.clip(out.rgb, 0, 1),
                                             f["im"])),
-            })
+            }
+            if "gt_depth" in f:
+                # reference-style abs-rel through point-cloud reprojection
+                # (metrics.py:131-213), on alpha-unpremultiplied depth
+                cam = f["camera"]
+                k = np.array([[float(cam.fx), 0, float(cam.cx)],
+                              [0, float(cam.fy), float(cam.cy)],
+                              [0, 0, 1]], np.float32)
+                d = out.depth / jnp.maximum(out.alpha, 1e-6)
+                row["depth_abs_rel"] = float(M.depth_abs_rel_reprojected(
+                    d, f["gt_depth"], jnp.asarray(k)))
+            rows.append(row)
     mean_psnr = float(np.mean([r["psnr"] for r in rows]))
     mean_ssim = float(np.mean([r["ssim"] for r in rows]))
-    print(json.dumps({"psnr": mean_psnr, "ssim": mean_ssim,
-                      "n_views": len(rows)}))
+    summary = {"psnr": mean_psnr, "ssim": mean_ssim, "n_views": len(rows)}
+    d_rows = [r["depth_abs_rel"] for r in rows if "depth_abs_rel" in r]
+    if d_rows:
+        summary["depth_abs_rel"] = float(np.mean(d_rows))
+    print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"mean_psnr": mean_psnr, "mean_ssim": mean_ssim,

@@ -150,3 +150,133 @@ def coefs_from_feature_clusters(features: jnp.ndarray, num_bases: int,
         centers, _ = kmeans(features, num_bases, key)
     d = jnp.linalg.norm(features[:, None] - centers[None], axis=-1)
     return scale * jnp.exp(-d)
+
+
+def solve_procrustes_batched(src: jnp.ndarray, dst: jnp.ndarray,
+                             weights: jnp.ndarray):
+    """Weighted SE(3) Kabsch solve, batched over leading axes.
+
+    Args:
+      src: (..., P, 3) canonical points.
+      dst: (..., P, 3) target points.
+      weights: (..., P) nonnegative weights.
+
+    Returns (R (..., 3, 3), t (..., 3), wsum (...,)): the rigid transform
+    minimizing sum_i w_i ||R src_i + t - dst_i||^2 (dyn_som.py
+    solve_procrustes with enforce_se3=True, vectorized instead of the
+    reference's per-cluster/per-frame python loop).
+    """
+    wsum = jnp.sum(weights, axis=-1)
+    wn = weights / jnp.maximum(wsum, 1e-12)[..., None]
+    mu_s = jnp.einsum("...p,...pi->...i", wn, src)
+    mu_d = jnp.einsum("...p,...pi->...i", wn, dst)
+    cov = jnp.einsum("...p,...pi,...pj->...ij", wn,
+                     dst - mu_d[..., None, :], src - mu_s[..., None, :])
+    U, _, Vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    return R, t, wsum
+
+
+def velocity_direction_features(tracks_xyz: jnp.ndarray,
+                                cano_t: int) -> jnp.ndarray:
+    """Per-track clustering features: [canonical xyz, mean velocity dir].
+
+    dyn_som.py samples initial basis centers by clustering velocity
+    directions; position keeps spatially-coherent clusters.
+    """
+    v = tracks_xyz[:, 1:] - tracks_xyz[:, :-1]            # (N, F-1, 3)
+    vm = jnp.mean(v, axis=1)
+    vdir = vm / jnp.maximum(jnp.linalg.norm(vm, axis=-1, keepdims=True),
+                            1e-8)
+    return jnp.concatenate([tracks_xyz[:, cano_t], vdir], axis=-1)
+
+
+def init_motion_params_with_procrustes(
+        tracks_xyz: jnp.ndarray, num_bases: int, cano_t: int,
+        key: jax.Array, visibles: jnp.ndarray | None = None,
+        confidences: jnp.ndarray | None = None,
+        min_mean_weight: float = 0.1, outlier_quantile: float = 0.95):
+    """Motion-basis init from 3D tracks (dyn_som.py init_motion_params_...).
+
+    Static-shape reformulation of the reference scratchpad: outliers are
+    zero-WEIGHTED instead of filtered (95% distance quantile from the
+    median center + never-visible tracks); clusters come from k-means on
+    [canonical position, mean velocity direction]; every (basis, frame)
+    weighted-Procrustes SE(3) solve runs in ONE batched SVD instead of
+    nested python loops; frames whose weight mass is below
+    `min_mean_weight * mean` inherit the previous frame's transform via a
+    scan from cano_t outward (the reference's skip list). 6D rotations, so
+    the reference's quaternion double-cover sign fix is unnecessary.
+
+    Args:
+      tracks_xyz: (N, F, 3) 3D tracks.
+      visibles / confidences: optional (N, F) masks/weights.
+
+    Returns:
+      (bases {"rots" (K,F,6), "transls" (K,F,3)}, coefs (N, K),
+       valid (N,) bool)
+    """
+    n, f, _ = tracks_xyz.shape
+    vis = jnp.ones((n, f), bool) if visibles is None else visibles
+    conf = jnp.ones((n, f)) if confidences is None else confidences
+
+    cano = tracks_xyz[:, cano_t]                         # (N, 3)
+    center = jnp.median(cano, axis=0)
+    dists = jnp.linalg.norm(cano - center, axis=-1)
+    thresh = jnp.quantile(dists, outlier_quantile)
+    valid = (dists < thresh) & jnp.any(vis, axis=1)
+
+    feats = velocity_direction_features(tracks_xyz, cano_t)
+    centers, labels = kmeans(jnp.where(valid[:, None], feats,
+                                       feats.mean(0)), num_bases, key)
+    # coefs from distance to cluster centers in position space
+    # (dyn_som.py: motion_coefs = 10 * exp(-dists2centers))
+    d2c = jnp.linalg.norm(cano[:, None] - centers[None, :, :3], axis=-1)
+    coefs = 10.0 * jnp.exp(-d2c)
+
+    onehot = jax.nn.one_hot(labels, num_bases, dtype=jnp.float32)  # (N, K)
+    onehot = onehot * valid[:, None].astype(jnp.float32)
+    # per (track, frame) procrustes weight vs the canonical frame
+    wf = (vis[:, cano_t:cano_t + 1] & vis).astype(jnp.float32) * \
+        0.5 * (conf[:, cano_t:cano_t + 1] + conf)         # (N, F)
+    W = jnp.einsum("nk,nf->kfn", onehot, wf)              # (K, F, N)
+
+    src = jnp.broadcast_to(cano[None, None], (num_bases, f, n, 3))
+    dst = jnp.broadcast_to(tracks_xyz.transpose(1, 0, 2)[None],
+                           (num_bases, f, n, 3))
+    R, t, wsum = solve_procrustes_batched(src, dst, W)    # (K,F,3,3),(K,F,3)
+
+    rots6 = rotmat_to_cont_6d(R)                          # (K, F, 6)
+    ident6 = rotmat_to_cont_6d(jnp.eye(3))
+    # low-weight frames inherit the previous frame, scanning outward from
+    # cano_t in both directions
+    ok = wsum > min_mean_weight * jnp.maximum(
+        jnp.mean(wsum, axis=1, keepdims=True), 1e-12)     # (K, F)
+
+    def sweep(order):
+        def step(carry, xs):
+            r_prev, t_prev = carry
+            r_i, t_i, ok_i = xs
+            r = jnp.where(ok_i[:, None], r_i, r_prev)
+            tt = jnp.where(ok_i[:, None], t_i, t_prev)
+            return (r, tt), (r, tt)
+        init = (jnp.broadcast_to(ident6, (num_bases, 6)),
+                jnp.zeros((num_bases, 3)))
+        xs = (rots6[:, order].transpose(1, 0, 2),
+              t[:, order].transpose(1, 0, 2),
+              ok[:, order].transpose(1, 0))
+        _, (r_seq, t_seq) = jax.lax.scan(step, init, xs)
+        return r_seq.transpose(1, 0, 2), t_seq.transpose(1, 0, 2), order
+
+    fwd_order = jnp.arange(cano_t, f)
+    bwd_order = jnp.arange(cano_t, -1, -1)
+    r_fwd, t_fwd, _ = sweep(fwd_order)
+    r_bwd, t_bwd, _ = sweep(bwd_order)
+    rots_out = jnp.zeros((num_bases, f, 6)).at[:, fwd_order].set(r_fwd) \
+        .at[:, bwd_order].set(r_bwd)
+    t_out = jnp.zeros((num_bases, f, 3)).at[:, fwd_order].set(t_fwd) \
+        .at[:, bwd_order].set(t_bwd)
+    return {"rots": rots_out, "transls": t_out}, coefs, valid

@@ -129,3 +129,48 @@ def test_pallas_grads_match_finite_differences():
         if abs(g[i, j] - fd2) <= 0.08 * abs(fd2) + 5e-4:
             matched += 1
     assert checked >= 3 and matched >= 0.7 * checked, (checked, matched)
+
+
+def test_pallas_32_channel_feature_field():
+    """The reference rasterizes 32 semantic channels as a core capability
+    (cuda_rasterizer/config.h:16, dyn_train.py:244); CV = 3+32+2 rides the
+    same compositing pass. Forward parity vs tiled + gradient flow to the
+    feature table (VERDICT r1 item 7)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from tests.scenes import lookat_camera, random_scene
+
+    cam, _, _ = lookat_camera(w=64, h=48, f=45.0, dist=4.0)
+    means, colors, opac, scales, quats = random_scene(600, seed=21)
+    feat = np.random.RandomState(3).uniform(
+        0, 1, (600, 32)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128,
+                       max_tiles_per_gaussian=16, max_per_tile=1024,
+                       pairs_per_gaussian=16)
+
+    pal = render(*((cam,) + args), extra_channels=jnp.asarray(feat),
+                 config=cfg, method="pallas")
+    til = render(*((cam,) + args), extra_channels=jnp.asarray(feat),
+                 config=cfg, method="tiled")
+    assert pal.extra.shape == (48, 64, 32)
+    np.testing.assert_allclose(np.asarray(pal.rgb), np.asarray(til.rgb),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pal.extra), np.asarray(til.extra),
+                               atol=3e-5)
+
+    ct = jnp.asarray(np.random.RandomState(4).normal(
+        size=(48, 64, 32)).astype(np.float32))
+
+    def loss(f, method):
+        out = render(*((cam,) + args), extra_channels=f, config=cfg,
+                     method=method)
+        return jnp.sum(out.extra * ct)
+
+    gp = jax.grad(lambda f: loss(f, "pallas"))(jnp.asarray(feat))
+    gt_ = jax.grad(lambda f: loss(f, "tiled"))(jnp.asarray(feat))
+    err = np.abs(np.asarray(gp) - np.asarray(gt_)) / \
+        np.maximum(np.abs(np.asarray(gt_)), 1.0)
+    assert err.max() < 1e-3, err.max()

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--report", type=int, default=50)
     ap.add_argument("--min_gain_db", type=float, default=2.0)
+    ap.add_argument("--k_cap", type=int, default=16)
+    ap.add_argument("--max_per_tile", type=int, default=2048)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -67,8 +69,9 @@ def main():
         densify_start=100, densify_every=100,
         densify_end=min(args.iters, 5000), grow_capacity=True,
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
-                              max_tiles_per_gaussian=8,
-                              pairs_per_gaussian=8, max_per_tile=1024))
+                              max_tiles_per_gaussian=args.k_cap,
+                              pairs_per_gaussian=args.k_cap,
+                              max_per_tile=args.max_per_tile))
     rcfg = raster_config(cfg)
     params, variables = G.init_params(pt, w2c,
                                       capacity=cfg.capacity)
