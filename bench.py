@@ -60,7 +60,7 @@ def main():
     cam = make_camera(w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c)
     # K=4 emission is lossless for this scene (n_dropped_rect == 0 and the
     # image is bit-identical to K=16) and cuts the pair sort nearly in half.
-    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=256,
+    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128,
                        max_tiles_per_gaussian=4)
 
     args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
@@ -100,7 +100,7 @@ def main():
                         axis=-1)
     params, variables = G.init_params(pt, w2c[None], capacity=cap)
     tcfg = TrainConfig(capacity=cap, raster=RasterSettings(
-        tile_h=16, tile_w=16, chunk=256, max_tiles_per_gaussian=4))
+        tile_h=16, tile_w=16, chunk=128, max_tiles_per_gaussian=4))
     step = make_train_step(tcfg, raster_config(tcfg))
     opt_state = optim.init(params)
     lrs = {k: jnp.float32(1e-4) for k in params}

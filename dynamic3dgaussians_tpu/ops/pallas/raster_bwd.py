@@ -220,7 +220,7 @@ def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
                                d_raw: jnp.ndarray, *, num_tiles: int,
                                grid_w: int, tile_h: int, tile_w: int,
                                chunk: int = 128, precision: str = "highest",
-                               scan_impl: str = "matmul_highest"):
+                               scan_impl: str = "matmul_split3"):
     """Run the backward tile kernel.
 
     Args:

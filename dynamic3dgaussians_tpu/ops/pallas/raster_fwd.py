@@ -17,9 +17,11 @@ but mapped to TPU hardware instead of translated:
   * per chunk, the (P, G) alpha matrix is pure VPU work (pixels on sublanes,
     gaussians on lanes),
   * the front-to-back transmittance recurrence is an exclusive lane-axis
-    prefix sum of log(1-alpha) — a VPU cumsum, far cheaper than the
-    equivalent (P,G) x (G,G) strict-upper-triangular matmul at f32 MXU
-    precision (which dominated earlier kernel profiles),
+    prefix sum of log(1-alpha) with a selectable implementation
+    (lane_inclusive_scan): default "matmul_split3" — 3 single-pass bf16
+    MXU products against the bf16-exact {0,1} triangular matrix (~24-bit
+    mantissa, half a HIGHEST dot's cost, and it avoids a pathological
+    Mosaic compile the full-program HIGHEST variant hits at some shapes),
   * channel accumulation stays an MXU matmul: acc += w @ vals^T,
   * early termination when every pixel's transmittance is dead
     (forward.cu:367-371's per-pixel `done`, lifted to tile granularity).
@@ -218,7 +220,7 @@ def pallas_composite_tiles(rec_t: jnp.ndarray,
                            tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
                            chunk: int = 128, precision: str = "highest",
-                           scan_impl: str = "matmul_highest"):
+                           scan_impl: str = "matmul_split3"):
     """Run the forward tile kernel.
 
     Args:
