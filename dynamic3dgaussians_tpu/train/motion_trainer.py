@@ -92,6 +92,8 @@ def train_motion(dataset: List[List[Dict]], cfg: TrainConfig,
                  pt_cld: np.ndarray, w2c_stack: np.ndarray,
                  num_bases: int = 10, num_iters: int = 2000,
                  features: Optional[np.ndarray] = None,
+                 tracks_3d: Optional[np.ndarray] = None,
+                 cano_t: int = 0,
                  callbacks: Optional[Dict] = None):
     """Whole-sequence motion-basis optimization (dyn_train.py capability).
 
@@ -99,6 +101,11 @@ def train_motion(dataset: List[List[Dict]], cfg: TrainConfig,
       dataset: dataset[t] = camera datapoints per frame.
       features: optional (N, F) per-gaussian features for coefficient init
         (DINOv2 in the reference); falls back to positions.
+      tracks_3d: optional (M, T, 3) 3D tracks — switches initialization to
+        the Shape-of-Motion weighted-Procrustes solve (dyn_som.py):
+        bases start at each cluster's rigid SE(3) trajectory instead of
+        identity, and coefficients come from distance to the velocity
+        clusters (mapped to the gaussians by nearest canonical track).
     """
     callbacks = callbacks or {}
     num_frames = len(dataset)
@@ -114,10 +121,21 @@ def train_motion(dataset: List[List[Dict]], cfg: TrainConfig,
         (0, cap - pt_cld.shape[0]))
 
     k1, k2 = jax.random.split(key)
-    bases = MB.init_motion_bases(num_bases, num_frames, k1)
-    feats = jnp.asarray(features if features is not None else pt_cld[:, :3],
-                        jnp.float32)
-    coefs = MB.coefs_from_features(feats, num_bases, k2)
+    if tracks_3d is not None:
+        assert tracks_3d.shape[1] == num_frames, (
+            f"tracks have {tracks_3d.shape[1]} frames, dataset {num_frames}")
+        bases, track_coefs, _ = MB.init_motion_params_with_procrustes(
+            jnp.asarray(tracks_3d, jnp.float32), num_bases, cano_t, k1)
+        # map per-track coefs to gaussians via the nearest canonical track
+        pts = jnp.asarray(pt_cld[:, :3], jnp.float32)
+        t_cano = jnp.asarray(tracks_3d[:, cano_t], jnp.float32)
+        d2 = jnp.sum((pts[:, None] - t_cano[None]) ** 2, axis=-1)
+        coefs = track_coefs[jnp.argmin(d2, axis=-1)]
+    else:
+        bases = MB.init_motion_bases(num_bases, num_frames, k1)
+        feats = jnp.asarray(
+            features if features is not None else pt_cld[:, :3], jnp.float32)
+        coefs = MB.coefs_from_features(feats, num_bases, k2)
     coefs = jnp.pad(coefs, ((0, cap - coefs.shape[0]), (0, 0)))
     params["motion_rots"] = bases["rots"]
     params["motion_transls"] = bases["transls"]

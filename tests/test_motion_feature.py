@@ -177,3 +177,90 @@ def test_procrustes_init_recovers_piecewise_rigid_motion():
     T = compute_transforms(bases, jnp.arange(f), cn)
     moved = apply_transforms(T, jnp.asarray(tracks[:, 0]))
     assert float(jnp.abs(moved - tracks).mean()) < 5e-2
+
+
+def test_lift_tracks_to_3d_roundtrip():
+    """Tracks on a dense analytic depth surface lift back to the exact 3D
+    points (validates bilinear depth sampling + unprojection + c2w chain)."""
+    import numpy as np
+    from dynamic3dgaussians_tpu.data.tracks import lift_tracks_to_3d
+
+    rng = np.random.RandomState(0)
+    n, t, h, w = 80, 4, 48, 64
+    k = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]], np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    c2ws, depths = [], []
+    for ti in range(t):
+        ang = 0.05 * ti
+        c, s_ = np.cos(ang), np.sin(ang)
+        w2c = np.array([[c, 0, -s_, 0.1 * ti], [0, 1, 0, 0],
+                        [s_, 0, c, 0], [0, 0, 0, 1]], np.float32)
+        c2ws.append(np.linalg.inv(w2c).astype(np.float32))
+        # smooth analytic surface in view space
+        depths.append((4.0 + 0.01 * xx + 0.02 * yy
+                       + 0.2 * np.sin(0.1 * xx) * (1 + 0.1 * ti))
+                      .astype(np.float32))
+    depths = np.stack(depths)
+
+    # random subpixel track positions; ground truth = bilinear depth there
+    tracks = np.zeros((n, t, 4), np.float32)
+    tracks[..., 0] = rng.uniform(1, w - 2, (n, t))
+    tracks[..., 1] = rng.uniform(1, h - 2, (n, t))
+    tracks[..., 3] = 0.1
+    pts_true = np.zeros((n, t, 3), np.float32)
+    for ti in range(t):
+        px, py = tracks[:, ti, 0], tracks[:, ti, 1]
+        x0, y0 = np.floor(px).astype(int), np.floor(py).astype(int)
+        fx_, fy_ = px - x0, py - y0
+        d = depths[ti]
+        z = ((1 - fy_) * ((1 - fx_) * d[y0, x0] + fx_ * d[y0, x0 + 1])
+             + fy_ * ((1 - fx_) * d[y0 + 1, x0] + fx_ * d[y0 + 1, x0 + 1]))
+        xc = (px - k[0, 2]) / k[0, 0] * z
+        yc = (py - k[1, 2]) / k[1, 1] * z
+        pc = np.stack([xc, yc, z, np.ones_like(z)], -1)
+        pts_true[:, ti] = (pc @ np.asarray(c2ws[ti]).T)[:, :3]
+
+    t3d, vis, conf = lift_tracks_to_3d(tracks, depths, k, np.stack(c2ws))
+    assert vis.all()
+    err = np.linalg.norm(t3d - pts_true, axis=-1)
+    assert err.max() < 1e-3, err.max()
+    assert (conf > 0.8).all()
+
+    # occlusion flag (channel 2) kills visibility
+    tracks[:5, :, 2] = 1.0
+    _, vis2, conf2 = lift_tracks_to_3d(tracks, depths, k, np.stack(c2ws))
+    assert not vis2[:5].any() and vis2[5:].all()
+    assert (conf2[:5] == 0).all()
+
+
+def test_train_motion_with_procrustes_tracks():
+    """tracks_3d switches train_motion to the procrustes init and the loss
+    still optimizes (dyn_som -> dyn_train integration)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamic3dgaussians_tpu.data import synthetic
+    from dynamic3dgaussians_tpu.train.config import (RasterSettings,
+                                                     TrainConfig)
+    from dynamic3dgaussians_tpu.train.motion_trainer import train_motion
+
+    scene = synthetic.make_gt_scene(n_fg=20, n_bg=30, seed=0)
+    num_t = 4
+    dataset, w2c, _ = synthetic.make_dataset(scene, num_t=num_t, num_cams=2,
+                                             w=32, h=32, f=28.0)
+    pt = synthetic.init_point_cloud(scene, noise=0.02)
+    # tracks = animated GT positions of the fg points
+    tracks = np.stack([synthetic.animate(scene, t, num_t)
+                       for t in range(num_t)], axis=1)   # (N, T, 3)
+    cfg = TrainConfig(capacity=64, seed=0, report_every=5,
+                      raster=RasterSettings(chunk=64, max_per_tile=256,
+                                            max_tiles_per_gaussian=16,
+                                            pairs_per_gaussian=16))
+    losses = []
+    params, variables = train_motion(
+        dataset, cfg, pt, w2c, num_bases=4, num_iters=20,
+        tracks_3d=tracks[:40],
+        callbacks={"on_step": lambda t, i, m: losses.append(
+            float(m["loss"]))})
+    assert "motion_rots" in params and params["motion_rots"].shape[1] == num_t
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0] * 1.2
