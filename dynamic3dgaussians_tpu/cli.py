@@ -58,6 +58,13 @@ def _build_cfg(args):
                                  f"{args.config_json}")
             if k == "raster":
                 cfg.raster = _dc.replace(cfg.raster, **v)
+            elif k in ("lrs", "loss_weights"):
+                # per-key override — a partial dict must not wipe defaults
+                # (lr_tree/loss weighting .get(k, 0.0) would silently freeze
+                # every unmentioned group)
+                merged = dict(getattr(cfg, k))
+                merged.update(v)
+                setattr(cfg, k, merged)
             elif k == "freeze_after_t0":
                 cfg.freeze_after_t0 = tuple(v)
             else:

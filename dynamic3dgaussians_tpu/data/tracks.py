@@ -102,7 +102,10 @@ def lift_tracks_to_3d(tracks_2d: np.ndarray,
 
     in_bounds = ((xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
                  & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1))
-    visibles = in_bounds & (z > 1e-6)
+    # depth-consistency gate: straddling an occluder edge marks the frame
+    # invisible (the z_near repair still yields the best-guess 3D point,
+    # but it must not enter the Procrustes solve at full weight)
+    visibles = in_bounds & (z > 1e-6) & ~straddle
     if c >= 3:
         visibles &= tracks_2d[..., 2] < occ_threshold
     if c >= 4:

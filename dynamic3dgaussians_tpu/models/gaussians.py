@@ -171,6 +171,20 @@ def grow_capacity(params: Params, variables: Variables, new_capacity: int,
     return grown, var, new_opt
 
 
+def compact_with_optimizer(params: Params, variables: Variables,
+                           opt_state):
+    """compact() plus the matching Adam-moment row reorder (one canonical
+    implementation for the trainer/ego-trainer/dryrun post-t0 step)."""
+    from dynamic3dgaussians_tpu.train import optim as _optim
+    params, variables, order = compact(params, variables)
+    mu = {k: (v if k in CAMERA_KEYS else v[order])
+          for k, v in opt_state.mu.items()}
+    nu = {k: (v if k in CAMERA_KEYS else v[order])
+          for k, v in opt_state.nu.items()}
+    return params, variables, _optim.AdamState(mu=mu, nu=nu,
+                                               step=opt_state.step), order
+
+
 def compact(params: Params, variables: Variables):
     """Repack alive gaussians to the front (host-side maintenance).
 

@@ -67,8 +67,11 @@ class RasterConfig:
     fused_key: bool = flax.struct.field(pytree_node=False, default=True)
     depth_mode: str = flax.struct.field(pytree_node=False,
                                         default="quantized")
-    # MXU precision of the compositing matmuls: "highest" (bf16x6, bit-tight
-    # vs f32), "high" (bf16x3, ~f32 for these magnitudes, 2x faster MXU).
+    # MXU precision of the compositing matmuls: "highest" (bf16x6,
+    # bit-tight vs f32) or "default" (single-pass bf16). Mosaic lowers no
+    # intermediate tier, so "high" aliases "highest"; the transmittance
+    # prefix has its own fast path (raster_fwd.lane_inclusive_scan
+    # "matmul_split3", the default scan implementation).
     kernel_precision: str = flax.struct.field(pytree_node=False,
                                               default="highest")
     # XLA "tiled" oracle path only:

@@ -80,9 +80,13 @@ def make_tile_sharded_render(cam: Camera, mesh: Mesh, axis: str = "x",
         depth_b = bcast(proj.depth)
         pos = jax.lax.broadcasted_iota(
             jnp.int32, (1, cfg.max_tiles_per_gaussian * n), 1)[0]
-        from dynamic3dgaussians_tpu.ops.sorted_raster import _make_composite
-        composite = _make_composite(tiles_local, grid_w, th, tw, chunk,
-                                    n_chan)
+        from dynamic3dgaussians_tpu.ops.sorted_raster import (
+            _make_composite, depth_key_bits)
+        bits_z = depth_key_bits(tiles_local) if cfg.fused_key else 0
+        composite = _make_composite(
+            tiles_local, grid_w, th, tw, chunk, n_chan, bits_z,
+            bits_z > 0 and cfg.depth_mode == "quantized",
+            cfg.kernel_precision)
         raw = composite(key_local, depth_b, pos, geom, chan)
         alpha_t = raw[..., n_chan + 1]
         chan_t = raw[..., :n_chan] + (1.0 - alpha_t[..., None]) * bg

@@ -222,12 +222,8 @@ def train_ego(ego_dataset, stat_dataset, cfg: TrainConfig,
             if "on_step" in callbacks and i % cfg.report_every == 0:
                 callbacks["on_step"](t, i, metrics)
         if is_initial:
-            params, variables, order = G.compact(params, variables)
-            mu = {k: (v if k in G.CAMERA_KEYS else v[order])
-                  for k, v in opt_state.mu.items()}
-            nu = {k: (v if k in G.CAMERA_KEYS else v[order])
-                  for k, v in opt_state.nu.items()}
-            opt_state = optim.AdamState(mu=mu, nu=nu, step=opt_state.step)
+            params, variables, opt_state, _ = G.compact_with_optimizer(
+                params, variables, opt_state)
             variables = initialize_post_first_timestep(params, variables,
                                                        cfg)
         output_params.append(params_to_cpu(params, variables, is_initial))

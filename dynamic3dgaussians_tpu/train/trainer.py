@@ -368,12 +368,8 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
         if is_initial:
             # Repack alive slots to the front so the neighbor graph and the
             # stacked checkpoints stay contiguous; topology is frozen now.
-            params, variables, order = G.compact(params, variables)
-            mu = {k: (v if k in G.CAMERA_KEYS else v[order])
-                  for k, v in opt_state.mu.items()}
-            nu = {k: (v if k in G.CAMERA_KEYS else v[order])
-                  for k, v in opt_state.nu.items()}
-            opt_state = optim.AdamState(mu=mu, nu=nu, step=opt_state.step)
+            params, variables, opt_state, _ = G.compact_with_optimizer(
+                params, variables, opt_state)
             variables = initialize_post_first_timestep(params, variables, cfg)
         output_params.append(params_to_cpu(params, variables, is_initial))
         if "on_timestep" in callbacks:

@@ -171,7 +171,17 @@ class GuiClient:
 
         Serializes our Camera into the viewer convention that the server's
         camera_from_viewer undoes (transpose + y/z column flips).
+
+        Protocol caveat (inherited from the reference wire format): the
+        server sends NO image bytes when its render callback returns None,
+        and nothing at all for a zero-resolution request — there is no
+        length prefix on the image to detect this. This client never sends
+        zero resolutions, and on a read timeout it closes the socket and
+        raises instead of desyncing the stream (the caller must reconnect).
         """
+        if cam.width <= 0 or cam.height <= 0:
+            raise ValueError("zero-resolution request would desync the "
+                             "protocol (server sends no reply)")
         w, h = cam.width, cam.height
         fovx = 2.0 * np.arctan(float(np.asarray(cam.tan_fovx)))
         fovy = 2.0 * np.arctan(float(np.asarray(cam.tan_fovy)))
@@ -192,11 +202,19 @@ class GuiClient:
             "view_projection_matrix": [float(v) for v in vp.reshape(-1)],
             "render_mode": render_mode,
         })
-        img = np.frombuffer(self._read_exact(h * w * 3), np.uint8) \
-            .reshape(h, w, 3)
-        n = int.from_bytes(self._read_exact(4), "little")
-        self._read_exact(n)  # verify string
-        metrics = self._read_json()
+        try:
+            img = np.frombuffer(self._read_exact(h * w * 3), np.uint8) \
+                .reshape(h, w, 3)
+            n = int.from_bytes(self._read_exact(4), "little")
+            self._read_exact(n)  # verify string
+            metrics = self._read_json()
+        except (TimeoutError, socket.timeout) as e:
+            # probably a None-image reply: the stream position is unknowable
+            # now, so fail the connection cleanly rather than desync
+            self.close()
+            raise ConnectionError(
+                "viewer stream desynced (server replied without image "
+                f"bytes?): {e}")
         return img, metrics
 
     def close(self):

@@ -20,13 +20,7 @@ import time
 import numpy as np
 
 
-def pipelined_ms(fn, iters=30):
-    import jax
-    jax.block_until_ready(fn(np.float32(0.0)))
-    t0 = time.perf_counter()
-    outs = [fn(np.float32(1e-7 * (i + 1))) for i in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters * 1e3
+from dynamic3dgaussians_tpu.utils.timing import pipelined_ms
 
 
 def main():
