@@ -198,3 +198,53 @@ def compact(params: Params, variables: Variables):
     for k in ("alive", "means2D_gradient_accum", "denom", "max_2D_radius"):
         var[k] = variables[k][order]
     return out, var, order
+
+
+def compose_scenes(static_params: Params, dynamic_params: Params,
+                   capacity: Optional[int] = None):
+    """Concatenate a static background scene with a dynamic foreground set.
+
+    The reference's `add_new_gaussians` (dyn_double.py:215-240): a trained
+    static checkpoint is composed with fresh person/foreground gaussians;
+    `label` marks 0 = static (gradient-gated frozen via grad_mask) and
+    1 = dynamic. Static params whose stacked checkpoints carry a leading
+    time axis contribute their first timestep (dyn_double takes [0]).
+
+    Returns (params, variables) with the usual capacity padding; camera
+    tables come from whichever side has them (static wins).
+    """
+    out: Params = {}
+    n_s = np.asarray(static_params["means3D"]).shape[-2] \
+        if np.asarray(static_params["means3D"]).ndim == 3 \
+        else np.asarray(static_params["means3D"]).shape[0]
+    n_d = np.asarray(dynamic_params["means3D"]).shape[0]
+    keys = [k for k in dict(static_params, **dynamic_params)
+            if k in GAUSSIAN_KEYS]
+    for k in keys:
+        s = static_params.get(k)
+        d = dynamic_params.get(k)
+        if s is None or d is None:
+            continue
+        s = jnp.asarray(s)
+        if s.ndim == 3:      # stacked per-timestep checkpoint -> t=0
+            s = s[0]
+        out[k] = jnp.concatenate([s, jnp.asarray(d)], axis=0)
+    out["label"] = jnp.concatenate([jnp.zeros(n_s, jnp.float32),
+                                    jnp.ones(n_d, jnp.float32)])
+    for k in CAMERA_KEYS:
+        if k in static_params:
+            out[k] = jnp.asarray(static_params[k])
+        elif k in dynamic_params:
+            out[k] = jnp.asarray(dynamic_params[k])
+    n = n_s + n_d
+    cap = capacity or round_capacity(n)
+    out = pad_params(out, cap)
+    variables = {
+        "alive": jnp.arange(cap) < n,
+        "scene_radius": jnp.asarray(static_params.get(
+            "scene_radius", jnp.float32(1.0))),
+        "means2D_gradient_accum": jnp.zeros(cap, jnp.float32),
+        "denom": jnp.zeros(cap, jnp.float32),
+        "max_2D_radius": jnp.zeros(cap, jnp.float32),
+    }
+    return out, variables

@@ -316,3 +316,49 @@ def test_trainer_grows_capacity_instead_of_dropping():
     assert variables["alive"].shape[0] > 64
     assert int(jnp.sum(variables["alive"])) > 64
     assert np.isfinite(np.asarray(params["means3D"])).all()
+
+
+def test_compose_scenes_static_plus_dynamic():
+    """dyn_double.py add_new_gaussians parity: static checkpoint + fresh
+    foreground, label 0/1 split, grad-gating freezes the static half."""
+    import jax
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.ops.camera import make_camera
+
+    params_s, variables_s, opt_s, n_s = _toy_state(cap=32, n=20, seed=7)
+    params_d, variables_d, opt_d, n_d = _toy_state(cap=32, n=12, seed=8)
+    # simulate a stacked static checkpoint (leading time axis on means)
+    stat = {k: v[:n_s] for k, v in params_s.items()
+            if k not in ("cam_m", "cam_c")}
+    stat["means3D"] = jnp.stack([stat["means3D"], stat["means3D"] + 0.1])
+    stat["cam_m"] = params_s["cam_m"]
+    stat["scene_radius"] = variables_s["scene_radius"]
+    dyn = {k: v[:n_d] for k, v in params_d.items()
+           if k not in ("cam_m", "cam_c")}
+
+    params, variables = G.compose_scenes(stat, dyn)
+    n = n_s + n_d
+    assert int(jnp.sum(variables["alive"])) == n
+    assert params["label"].shape[0] == variables["alive"].shape[0]
+    np.testing.assert_array_equal(np.asarray(params["label"][:n_s]), 0.0)
+    np.testing.assert_array_equal(np.asarray(params["label"][n_s:n]), 1.0)
+    # static side took timestep 0 of the stacked checkpoint
+    np.testing.assert_allclose(np.asarray(params["means3D"][:n_s]),
+                               np.asarray(stat["means3D"][0]))
+
+    # label grad-gating: static gaussians receive zero position gradients
+    w2c = np.eye(4); w2c[2, 3] = 5.0
+    cam = make_camera(32, 32, [[28, 0, 16], [0, 28, 16], [0, 0, 1]], w2c)
+    cfg = RasterConfig(chunk=64, max_per_tile=256, max_tiles_per_gaussian=16,
+                       pairs_per_gaussian=16)
+
+    def loss(m):
+        act = G.activated(dict(params, means3D=m), variables["alive"])
+        out = render(cam, act["means3d"], act["colors"], act["opacity"],
+                     act["scales"], act["rotations"], config=cfg,
+                     grad_mask=params["label"])
+        return jnp.sum(out.rgb ** 2)
+
+    g = jax.grad(loss)(params["means3D"])
+    assert float(jnp.abs(g[:n_s]).max()) == 0.0      # static frozen
+    assert float(jnp.abs(g[n_s:n]).max()) > 0.0      # dynamic trains
