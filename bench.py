@@ -18,12 +18,37 @@ an input so no caching layer (jit or transport) can replay a result.
 from __future__ import annotations
 
 import json
+import signal
 import time
 
 import numpy as np
 
-
 from dynamic3dgaussians_tpu.utils.timing import pipelined_ms
+
+PHASE_TIMEOUT_S = 2100  # first compile of a big config is ~3-6 min; a hung
+# remote compile service (observed: pathological Mosaic compiles wedging the
+# queue for hours) must not prevent the bench from emitting its JSON line.
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+def timed_phase(name, fn, *args, **kw):
+    """Run one bench phase under SIGALRM; None if it times out."""
+    def handler(signum, frame):
+        raise PhaseTimeout(name)
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(PHASE_TIMEOUT_S)
+    try:
+        return fn(*args, **kw)
+    except PhaseTimeout:
+        print(f"# phase {name} timed out after {PHASE_TIMEOUT_S}s "
+              "(remote compile service backlog)", flush=True)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main():
@@ -65,7 +90,12 @@ def main():
         return render(cam, args[0] + s, args[1], args[2], args[3], args[4],
                       config=cfg, method="pallas").rgb
 
-    fwd_ms = pipelined_ms(fwd)
+    fwd_ms = timed_phase("forward", pipelined_ms, fwd)
+    if fwd_ms is None:
+        print(json.dumps({"metric": "render_fps_200k", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "error": "forward compile timed out"}))
+        return
     fps = 1e3 / fwd_ms
 
     # ---- forward + full backward (the grad-kernel metric) ----
@@ -77,8 +107,8 @@ def main():
         return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
             args[0] + s, args[1], args[2], args[3], args[4])
 
-    fwdbwd_ms = pipelined_ms(fwdbwd, iters=20)
-    bwd_ms = max(fwdbwd_ms - fwd_ms, 0.0)
+    fwdbwd_ms = timed_phase("fwd+bwd", pipelined_ms, fwdbwd, iters=20)
+    bwd_ms = None if fwdbwd_ms is None else max(fwdbwd_ms - fwd_ms, 0.0)
 
     # ---- full train step at 200k: render + im/seg losses + Adam ----
     from dynamic3dgaussians_tpu.models import gaussians as G
@@ -112,7 +142,8 @@ def main():
                                             lrs, True)
         return metrics["loss"]
 
-    train_ms = pipelined_ms(train_call, iters=20)
+    train_ms = timed_phase("train_step", pipelined_ms, train_call,
+                           iters=20)
 
     # ---- 32-channel feature field through the same pass (CV = 40) ----
     feat = jnp.asarray(rng.uniform(0, 1, (n, 32)), jnp.float32)
@@ -123,19 +154,23 @@ def main():
                      extra_channels=feat, config=cfg, method="pallas")
         return out.rgb, out.extra
 
-    feat_ms = pipelined_ms(fwd_feat, iters=15)
+    feat_ms = timed_phase("feature32", pipelined_ms, fwd_feat, iters=15)
 
-    print(json.dumps({
+    out = {
         "metric": "render_fps_200k",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 800.0, 4),
-        "bwd_ms": round(bwd_ms, 2),
-        "train_step_ms": round(train_ms, 2),
-        "train_it_s": round(1e3 / train_ms, 2),
         "rays_per_s": round(h * w * fps),
-        "feature32_fps": round(1e3 / feat_ms, 2),
-    }))
+    }
+    if bwd_ms is not None:
+        out["bwd_ms"] = round(bwd_ms, 2)
+    if train_ms is not None:
+        out["train_step_ms"] = round(train_ms, 2)
+        out["train_it_s"] = round(1e3 / train_ms, 2)
+    if feat_ms is not None:
+        out["feature32_fps"] = round(1e3 / feat_ms, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
