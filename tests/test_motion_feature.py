@@ -264,3 +264,29 @@ def test_train_motion_with_procrustes_tracks():
     assert "motion_rots" in params and params["motion_rots"].shape[1] == num_t
     assert np.isfinite(losses).all()
     assert losses[-1] <= losses[0] * 1.2
+
+
+def test_tracks_from_sequence_files(tmp_path):
+    """load_2d_tracks/tracks_from_sequence read the reference's on-disk
+    layout ({query}_{target}.npy) and lift through the full pipeline."""
+    import numpy as np
+    from dynamic3dgaussians_tpu.data.tracks import tracks_from_sequence
+
+    rng = np.random.RandomState(0)
+    names = ["f0", "f1", "f2"]
+    t, h, w = 3, 24, 32
+    k = np.array([[20.0, 0, 16], [0, 20.0, 12], [0, 0, 1]], np.float32)
+    depths = np.full((t, h, w), 5.0, np.float32)
+    c2ws = np.tile(np.eye(4, dtype=np.float32)[None], (t, 1, 1))
+    for q in names:
+        for tn in names:
+            arr = np.zeros((7, 4), np.float32)
+            arr[:, 0] = rng.uniform(2, w - 3, 7)
+            arr[:, 1] = rng.uniform(2, h - 3, 7)
+            arr[:, 3] = 0.2
+            np.save(tmp_path / f"{q}_{tn}.npy", arr)
+    t3d, vis, conf = tracks_from_sequence(
+        str(tmp_path), names, depths, k, c2ws, num_samples=12)
+    assert t3d.shape == (12, 3, 3)   # capped at 12 samples (4 per query)
+    assert vis.all() and (conf > 0.5).all()
+    np.testing.assert_allclose(t3d[..., 2], 5.0, atol=1e-5)
