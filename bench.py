@@ -18,37 +18,42 @@ an input so no caching layer (jit or transport) can replay a result.
 from __future__ import annotations
 
 import json
-import signal
+import threading
 import time
 
 import numpy as np
 
 from dynamic3dgaussians_tpu.utils.timing import pipelined_ms
 
-PHASE_TIMEOUT_S = 2100  # first compile of a big config is ~3-6 min; a hung
-# remote compile service (observed: pathological Mosaic compiles wedging the
-# queue for hours) must not prevent the bench from emitting its JSON line.
-
-
-class PhaseTimeout(Exception):
-    pass
+PHASE_TIMEOUT_S = 1800  # first compile of a big config is ~3-6 min; a hung
+# compile/execution (observed: pathological Mosaic compiles and stale-
+# session device wedges lasting hours) must not prevent the bench from
+# emitting its JSON line. Signals cannot interrupt a blocked TPU call, so
+# each phase runs in a worker thread and is abandoned on join-timeout; the
+# process force-exits at the end so an abandoned thread cannot hang exit.
 
 
 def timed_phase(name, fn, *args, **kw):
-    """Run one bench phase under SIGALRM; None if it times out."""
-    def handler(signum, frame):
-        raise PhaseTimeout(name)
-    old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(PHASE_TIMEOUT_S)
-    try:
-        return fn(*args, **kw)
-    except PhaseTimeout:
-        print(f"# phase {name} timed out after {PHASE_TIMEOUT_S}s "
-              "(remote compile service backlog)", flush=True)
+    """Run one bench phase in a worker thread; None if it times out."""
+    box = {}
+
+    def run():
+        try:
+            box["out"] = fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 - report, keep bench alive
+            box["err"] = repr(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(PHASE_TIMEOUT_S)
+    if th.is_alive():
+        print(f"# phase {name} still blocked after {PHASE_TIMEOUT_S}s "
+              "(compile-service/device wedge) — abandoned", flush=True)
         return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    if "err" in box:
+        print(f"# phase {name} failed: {box['err']}", flush=True)
+        return None
+    return box.get("out")
 
 
 def main():
@@ -94,9 +99,23 @@ def main():
     if fwd_ms is None:
         print(json.dumps({"metric": "render_fps_200k", "value": 0.0,
                           "unit": "fps", "vs_baseline": 0.0,
-                          "error": "forward compile timed out"}))
+                          "error": "forward phase blocked"}))
         return
+
+    def emit(partial):
+        """Re-emit the (growing) result line after every phase so a later
+        wedge can never erase completed measurements."""
+        print(json.dumps(partial), flush=True)
+
     fps = 1e3 / fwd_ms
+    result = {
+        "metric": "render_fps_200k",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 800.0, 4),
+        "rays_per_s": round(h * w * fps),
+    }
+    emit(result)
 
     # ---- forward + full backward (the grad-kernel metric) ----
     @jax.jit
@@ -109,6 +128,9 @@ def main():
 
     fwdbwd_ms = timed_phase("fwd+bwd", pipelined_ms, fwdbwd, iters=20)
     bwd_ms = None if fwdbwd_ms is None else max(fwdbwd_ms - fwd_ms, 0.0)
+    if bwd_ms is not None:
+        result["bwd_ms"] = round(bwd_ms, 2)
+        emit(result)
 
     # ---- full train step at 200k: render + im/seg losses + Adam ----
     from dynamic3dgaussians_tpu.models import gaussians as G
@@ -144,6 +166,10 @@ def main():
 
     train_ms = timed_phase("train_step", pipelined_ms, train_call,
                            iters=20)
+    if train_ms is not None:
+        result["train_step_ms"] = round(train_ms, 2)
+        result["train_it_s"] = round(1e3 / train_ms, 2)
+        emit(result)
 
     # ---- 32-channel feature field through the same pass (CV = 40) ----
     feat = jnp.asarray(rng.uniform(0, 1, (n, 32)), jnp.float32)
@@ -155,23 +181,15 @@ def main():
         return out.rgb, out.extra
 
     feat_ms = timed_phase("feature32", pipelined_ms, fwd_feat, iters=15)
-
-    out = {
-        "metric": "render_fps_200k",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / 800.0, 4),
-        "rays_per_s": round(h * w * fps),
-    }
-    if bwd_ms is not None:
-        out["bwd_ms"] = round(bwd_ms, 2)
-    if train_ms is not None:
-        out["train_step_ms"] = round(train_ms, 2)
-        out["train_it_s"] = round(1e3 / train_ms, 2)
     if feat_ms is not None:
-        out["feature32_fps"] = round(1e3 / feat_ms, 2)
-    print(json.dumps(out))
+        result["feature32_fps"] = round(1e3 / feat_ms, 2)
+
+    emit(result)
 
 
 if __name__ == "__main__":
+    import os
     main()
+    # abandoned phase threads may be blocked inside the TPU runtime and
+    # would hang normal interpreter shutdown; all results are printed.
+    os._exit(0)
