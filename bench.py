@@ -25,7 +25,7 @@ import numpy as np
 
 from dynamic3dgaussians_tpu.utils.timing import pipelined_ms
 
-PHASE_TIMEOUT_S = 1800  # first compile of a big config is ~3-6 min; a hung
+PHASE_TIMEOUT_S = 900  # first compile of a big config is ~3-6 min; a hung
 # compile/execution (observed: pathological Mosaic compiles and stale-
 # session device wedges lasting hours) must not prevent the bench from
 # emitting its JSON line. Signals cannot interrupt a blocked TPU call, so
