@@ -1,9 +1,14 @@
 """Benchmark: render + backward + train-step throughput at 200k gaussians.
 
-Prints ONE JSON line (driver contract), e.g.:
+Emits the result as a JSON line, e.g.:
   {"metric": "render_fps_200k", "value": N, "unit": "fps", "vs_baseline": R,
    "bwd_ms": ..., "train_step_ms": ..., "train_it_s": ...,
    "rays_per_s": ..., "feature32_fps": ...}
+
+Driver contract: the LAST JSON line printed is the authoritative result.
+The (growing) result object is re-emitted after every completed phase so a
+device wedge in a later phase can never erase completed measurements — a
+parser must take the final line, not the first.
 
 Baselines (BASELINE.md, /root/reference/README.md:90-98): ~800 FPS raw
 render of a trained scene and ~50 train it/s WITH the rigidity loss on the

@@ -57,6 +57,12 @@ def _build_cfg(args):
                 raise SystemExit(f"unknown config field {k!r} in "
                                  f"{args.config_json}")
             if k == "raster":
+                fields = {f.name for f in _dc.fields(cfg.raster)}
+                for rk in v:
+                    if rk not in fields:
+                        raise SystemExit(f"unknown config field "
+                                         f"'raster.{rk}' in "
+                                         f"{args.config_json}")
                 cfg.raster = _dc.replace(cfg.raster, **v)
             elif k in ("lrs", "loss_weights"):
                 # per-key override — a partial dict must not wipe defaults
@@ -191,10 +197,16 @@ def cmd_evaluate(args):
     md = D.load_meta(args.data_root, args.seq)
     num_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
     rows = []
+    # Metric runs want bit-faithful depth: the training fast path quantizes
+    # depth into the fused sort key (~2^-(bits_z-8) relative buckets,
+    # ops/sorted_raster.py); "exact" carries the f32 depth row instead.
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig
+    eval_rcfg = RasterConfig(depth_mode="exact")
     for t in range(min(num_t, args.max_timesteps)):
         frames = D.load_timestep(args.data_root, args.seq, md, t)
         for f in frames[:args.max_cams]:
-            out = render_frame(params_at_t(stacked, t), f["camera"])
+            out = render_frame(params_at_t(stacked, t), f["camera"],
+                               config=eval_rcfg)
             row = {
                 "t": t, "cam": int(f["cam_id"]),
                 "psnr": float(M.masked_psnr(jnp.clip(out.rgb, 0, 1),

@@ -34,8 +34,8 @@ from dynamic3dgaussians_tpu.train import losses as L
 from dynamic3dgaussians_tpu.train import optim
 from dynamic3dgaussians_tpu.train.config import TrainConfig
 from dynamic3dgaussians_tpu.train.trainer import (
-    initialize_per_timestep, initialize_post_first_timestep, params_to_cpu,
-    raster_config)
+    densify_with_growth, initialize_per_timestep,
+    initialize_post_first_timestep, params_to_cpu, raster_config)
 
 
 def _render_rgb_depth(params, probe, cam, variables, rcfg):
@@ -215,8 +215,8 @@ def train_ego(ego_dataset, stat_dataset, cfg: TrainConfig,
             if is_initial and cfg.densify_start <= i <= cfg.densify_end \
                     and i % cfg.densify_every == 0:
                 key, sub = jax.random.split(key)
-                params, variables, opt_state, dstats = densify_jit(
-                    params, variables, opt_state, jnp.int32(i), sub)
+                params, variables, opt_state, dstats = densify_with_growth(
+                    densify_jit, params, variables, opt_state, i, sub, cfg)
                 if "on_densify" in callbacks:
                     callbacks["on_densify"](t, i, dstats)
             if "on_step" in callbacks and i % cfg.report_every == 0:

@@ -51,6 +51,29 @@ def raster_config(cfg: TrainConfig) -> RasterConfig:
                         pairs_per_gaussian=r.pairs_per_gaussian)
 
 
+def densify_with_growth(densify_jit, params, variables, opt_state, i, sub,
+                        cfg: TrainConfig):
+    """One densify pass with unbounded growth (external.py:244-292 appends
+    freely): if the pass ran out of free slots, grow the capacity table
+    host-side and redo the pass on the pre-densify state — zero rows are
+    ever dropped. densify_jit does not donate its inputs, so the pre-pass
+    state is still live for the redo. Returns the densify_jit 4-tuple."""
+    new_state = densify_jit(params, variables, opt_state, jnp.int32(i), sub)
+    dropped = int(new_state[3].n_dropped_capacity)
+    if dropped > 0 and cfg.grow_capacity:
+        cap = variables["alive"].shape[0]
+        needed = int(new_state[3].n_alive) + dropped
+        new_cap = G.round_capacity(max(2 * cap, needed))
+        if cfg.max_capacity:
+            new_cap = min(new_cap, G.round_capacity(cfg.max_capacity))
+        if new_cap > cap:
+            params, variables, opt_state = G.grow_capacity(
+                params, variables, new_cap, opt_state)
+            new_state = densify_jit(params, variables, opt_state,
+                                    jnp.int32(i), sub)
+    return new_state
+
+
 def compute_loss(params: Dict, probe: jnp.ndarray, batch: Dict,
                  variables: Dict, *, is_initial: bool, cfg: TrainConfig,
                  rcfg: RasterConfig):
@@ -334,29 +357,9 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
             if is_initial and i <= cfg.densify_end:
                 if i >= cfg.densify_start and i % cfg.densify_every == 0:
                     key, sub = jax.random.split(key)
-                    new_state = densify_jit(
-                        params, variables, opt_state, jnp.int32(i), sub)
-                    dropped = int(new_state[3].n_dropped_capacity)
-                    if dropped > 0 and cfg.grow_capacity:
-                        # Unbounded growth (reference external.py:244-292
-                        # appends freely): the pass ran out of free slots, so
-                        # grow the table host-side and redo the pass on the
-                        # pre-densify state — zero rows are ever dropped.
-                        # densify_jit does not donate its inputs, so the
-                        # pre-pass state is still live here.
-                        cap = variables["alive"].shape[0]
-                        needed = int(new_state[3].n_alive) + dropped
-                        new_cap = G.round_capacity(max(2 * cap, needed))
-                        if cfg.max_capacity:
-                            new_cap = min(new_cap, G.round_capacity(
-                                cfg.max_capacity))
-                        if new_cap > cap:
-                            params, variables, opt_state = G.grow_capacity(
-                                params, variables, new_cap, opt_state)
-                            new_state = densify_jit(params, variables,
-                                                    opt_state, jnp.int32(i),
-                                                    sub)
-                    params, variables, opt_state, dstats = new_state
+                    params, variables, opt_state, dstats = \
+                        densify_with_growth(densify_jit, params, variables,
+                                            opt_state, i, sub, cfg)
                     if "on_densify" in callbacks:
                         callbacks["on_densify"](t, i, dstats)
                 if i > 0 and i % cfg.opacity_reset_every == 0:
