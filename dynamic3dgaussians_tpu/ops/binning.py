@@ -28,6 +28,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax.numpy as jnp
 from jax import lax
 
+from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS
 from dynamic3dgaussians_tpu.ops.projection import Projected, tile_rect
 
 
@@ -41,7 +42,8 @@ class TileBins(NamedTuple):
 
 
 def emit_pairs(proj: Projected, tile_h: int, tile_w: int,
-               grid_h: int, grid_w: int, max_tiles_per_gaussian: int
+               grid_h: int, grid_w: int, max_tiles_per_gaussian: int,
+               opacity: jnp.ndarray = None, enum_cap: int = 0
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Enumerate each gaussian's tile rect into flat (K*N,) pair keys.
 
@@ -49,24 +51,83 @@ def emit_pairs(proj: Projected, tile_h: int, tile_w: int,
     out-of-range sentinel for unused emission slots; flat index layout is
     k-major (pair slot p = k * N + gaussian), so a consumer can reshape
     per-pair data back to (K, N) and reduce over K.
+
+    When `opacity` is given (and enum_cap > 0), candidate tiles are
+    EXACT-CULLED before claiming a slot: a (gaussian, tile) pair whose
+    maximum possible alpha over the tile's pixel box is below the kernel's
+    own 1/255 gate can only ever contribute exact zeros (forward and
+    backward alike), so dropping it is lossless. The bound uses
+    Q(d) >= lam_min * |d|^2 (lam_min = smaller conic eigenvalue) with the
+    box-to-center distance, i.e. it never over-culls. The CUDA reference
+    emits the full rect (forward.cu:246-250) and pays the dead pairs inside
+    renderCUDA's per-fragment alpha test instead; on TPU every surviving
+    pair costs sorted-record bandwidth AND kernel lanes, so culling at
+    emission is the structural win. Surviving candidates from the first
+    `enum_cap` rect cells are rank-compacted into the K slots (a tiny
+    one-hot sum over the static enum axis — no gather), so K bounds the
+    PASSING tiles per gaussian, not its rect size.
     """
     k_cap = max_tiles_per_gaussian
     num_tiles = grid_h * grid_w
     n = proj.depth.shape[0]
     tx0, ty0, tx1, ty1, raw_count = tile_rect(proj, tile_h, tile_w,
                                               grid_h, grid_w)
-    count = jnp.minimum(raw_count, k_cap)
-    n_dropped_rect = jnp.sum(raw_count - count)
-
-    # (K, N): sublanes = rect slot, lanes = gaussian (keep N minor!)
-    kk = lax.broadcasted_iota(jnp.int32, (k_cap, n), 0)
-    rw = jnp.maximum(tx1 - tx0, 1)[None, :]
-    ty = ty0[None, :] + kk // rw
-    tx = tx0[None, :] + kk % rw
-    ok = kk < count[None, :]
-    tile_key = jnp.where(ok, ty * grid_w + tx, num_tiles).astype(jnp.int32)
     gid = jnp.broadcast_to(
         lax.broadcasted_iota(jnp.int32, (k_cap, n), 1), (k_cap, n))
+
+    if opacity is None or enum_cap <= k_cap:
+        count = jnp.minimum(raw_count, k_cap)
+        n_dropped_rect = jnp.sum(raw_count - count)
+        # (K, N): sublanes = rect slot, lanes = gaussian (keep N minor!)
+        kk = lax.broadcasted_iota(jnp.int32, (k_cap, n), 0)
+        rw = jnp.maximum(tx1 - tx0, 1)[None, :]
+        ty = ty0[None, :] + kk // rw
+        tx = tx0[None, :] + kk % rw
+        ok = kk < count[None, :]
+        tile_key = jnp.where(ok, ty * grid_w + tx,
+                             num_tiles).astype(jnp.int32)
+        return (tile_key.reshape(-1), gid.reshape(-1),
+                n_dropped_rect.astype(jnp.int32))
+
+    # ---- exact-cull path: enumerate up to enum_cap rect cells ----
+    cc = lax.broadcasted_iota(jnp.int32, (enum_cap, n), 0)
+    rw = jnp.maximum(tx1 - tx0, 1)[None, :]
+    ty = ty0[None, :] + cc // rw
+    tx = tx0[None, :] + cc % rw
+    in_rect = cc < jnp.minimum(raw_count, enum_cap)[None, :]
+
+    # lam_min * |d|^2 lower-bounds the conic quadratic form; the bound's
+    # exp therefore upper-bounds every pixel's alpha in the tile box.
+    mid = 0.5 * (proj.conic_a + proj.conic_c)
+    dif = 0.5 * (proj.conic_a - proj.conic_c)
+    lam_min = jnp.maximum(
+        mid - jnp.sqrt(dif * dif + proj.conic_b * proj.conic_b), 0.0)
+    bx0 = (tx * tile_w).astype(jnp.float32)
+    by0 = (ty * tile_h).astype(jnp.float32)
+    x, y = proj.x2d[None, :], proj.y2d[None, :]
+    ddx = jnp.maximum(jnp.maximum(bx0 - x, x - (bx0 + (tile_w - 1))), 0.0)
+    ddy = jnp.maximum(jnp.maximum(by0 - y, y - (by0 + (tile_h - 1))), 0.0)
+    d2 = ddx * ddx + ddy * ddy
+    bound = opacity[None, :] * jnp.exp(-0.5 * lam_min[None, :] * d2)
+    # 0.999: the bound dominates the true max alpha mathematically; the
+    # margin keeps float evaluation noise from ever crossing the gate.
+    ok_cell = in_rect & (bound >= ALPHA_EPS * 0.999)
+
+    rank = jnp.cumsum(ok_cell.astype(jnp.int32), axis=0) - 1
+    key_cell = jnp.where(ok_cell, ty * grid_w + tx, 0)
+    slots = []
+    for k in range(k_cap):
+        hit = ok_cell & (rank == k)
+        slots.append(jnp.sum(jnp.where(hit, key_cell + 1, 0), axis=0) - 1)
+    tile_key = jnp.stack(slots, 0)
+    tile_key = jnp.where(tile_key >= 0, tile_key,
+                         num_tiles).astype(jnp.int32)
+
+    pass_count = jnp.sum(ok_cell.astype(jnp.int32), axis=0)
+    # Conservative drop count: passing cells beyond the K slots, plus rect
+    # cells past the enum window (untested — assume they would pass).
+    n_dropped_rect = (jnp.sum(jnp.maximum(pass_count - k_cap, 0))
+                      + jnp.sum(jnp.maximum(raw_count - enum_cap, 0)))
     return (tile_key.reshape(-1), gid.reshape(-1),
             n_dropped_rect.astype(jnp.int32))
 

@@ -137,11 +137,66 @@ def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
 
 
+def tile_pixel_feats(px, py, tile_ox, tile_oy, p):
+    """(P, 8) bf16 bilinear pixel-feature matrix for the MXU power path.
+
+    Tile-RELATIVE coordinates keep every entry an integer <= 255, which
+    bf16's 8-bit mantissa represents EXACTLY — so the matmul's only error
+    is the 3-round splitting of the gaussian coefficients (~2^-24 rel).
+    """
+    rx = px - tile_ox                          # (P, 1) in [0, tile_w)
+    ry = py - tile_oy
+    one = jnp.ones((p, 1), jnp.float32)
+    feats = jnp.concatenate(
+        [one, rx, ry, rx * rx, rx * ry, ry * ry,
+         jnp.zeros((p, 2), jnp.float32)], axis=1)
+    return feats.astype(jnp.bfloat16)
+
+
+def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
+                          chunk):
+    """MXU variant of chunk_alpha_masked: power as a bilinear form.
+
+    power0(p, g) = F(p) . C(g) with F = [1, x, y, x^2, xy, y^2] in
+    tile-relative pixel coordinates and C derived per chunk from the
+    geometry rows — ONE (P, 8) @ (8, G) contraction (3 bf16 rounds against
+    the exact-bf16 F, ~24-bit result) replaces the ~9 elementwise VPU ops
+    per cell of the quadratic-form expansion.
+    """
+    gx = g[0:1, :] - tile_ox                   # (1, G) tile-relative center
+    gy = g[1:2, :] - tile_oy
+    ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
+    op = g[5:6, :]
+    coef = jnp.concatenate([
+        -0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy,
+        ca * gx + cb * gy,
+        cc * gy + cb * gx,
+        jnp.broadcast_to(-0.5 * ca, ca.shape),
+        -cb,
+        jnp.broadcast_to(-0.5 * cc, cc.shape),
+        jnp.zeros_like(ca), jnp.zeros_like(ca)], axis=0)   # (8, G)
+    c1 = coef.astype(jnp.bfloat16)
+    r1 = coef - c1.astype(jnp.float32)
+    c2 = r1.astype(jnp.bfloat16)
+    c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bdot(c):
+        return jax.lax.dot_general(
+            feats16, c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    p0 = (bdot(c3) + bdot(c2)) + bdot(c1)      # (P, G)
+    power = jnp.minimum(p0, 0.0)
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ok = (lane >= lane_lo) & (lane < lane_hi)
+    return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
+
+
 def _kernel(starts_ref, counts_ref, rec_hbm,
             out_ref, logt_ref, nact_ref,
             rec_vmem, logt_scr, acc_scr, sems,
             *, chunk, tile_h, tile_w, grid_w, n_val, mxu_prec, interpret,
-            scan_impl):
+            scan_impl, power_impl):
     i = pl.program_id(0)
     start = starts_ref[i]
     count = counts_ref[i]
@@ -150,6 +205,10 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
     n_chunks = (shift + count + chunk - 1) // chunk
     p = tile_h * tile_w
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
+    if power_impl == "mxu":
+        tile_ox = (i % grid_w).astype(jnp.float32) * tile_w
+        tile_oy = (i // grid_w).astype(jnp.float32) * tile_h
+        feats16 = tile_pixel_feats(px, py, tile_ox, tile_oy, p)
 
     logt_scr[:] = jnp.zeros((p, 1), jnp.float32)
     acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
@@ -176,9 +235,14 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
 
             get_dma(slot, k).wait()
 
-            alpha = chunk_alpha_masked(rec_vmem[slot, :GEOM_ROWS], px, py,
-                                       shift - k * chunk,
-                                       shift + count - k * chunk, chunk)
+            if power_impl == "mxu":
+                alpha = chunk_alpha_masked_mxu(
+                    rec_vmem[slot, :GEOM_ROWS], feats16, tile_ox, tile_oy,
+                    shift - k * chunk, shift + count - k * chunk, chunk)
+            else:
+                alpha = chunk_alpha_masked(
+                    rec_vmem[slot, :GEOM_ROWS], px, py, shift - k * chunk,
+                    shift + count - k * chunk, chunk)
             logs = jnp.log1p(-alpha)                  # (P, G)
             # exclusive prefix along the chunk axis as a VPU scan; the MXU
             # triangular-matmul formulation costs ~an order of magnitude
@@ -214,13 +278,14 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
                                              "tile_w", "chunk", "precision",
-                                             "scan_impl"))
+                                             "scan_impl", "power_impl"))
 def pallas_composite_tiles(rec_t: jnp.ndarray,
                            tile_starts: jnp.ndarray,
                            tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
                            chunk: int = 128, precision: str = "highest",
-                           scan_impl: str = "matmul_split3"):
+                           scan_impl: str = "matmul_split3",
+                           power_impl: str = "vpu"):
     """Run the forward tile kernel.
 
     Args:
@@ -250,7 +315,8 @@ def pallas_composite_tiles(rec_t: jnp.ndarray,
     kernel = functools.partial(_kernel, chunk=chunk, tile_h=tile_h,
                                tile_w=tile_w, grid_w=grid_w, n_val=n_val,
                                mxu_prec=PRECISIONS[precision],
-                               interpret=interpret, scan_impl=scan_impl)
+                               interpret=interpret, scan_impl=scan_impl,
+                               power_impl=power_impl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -74,6 +74,15 @@ class RasterConfig:
     # "matmul_split3", the default scan implementation).
     kernel_precision: str = flax.struct.field(pytree_node=False,
                                               default="highest")
+    # Lossless emission culling (pallas path): drop (gaussian, tile) pairs
+    # whose max possible alpha over the tile is under the kernel's 1/255
+    # gate, rank-compacting survivors into the K slots (binning.emit_pairs).
+    # emit_enum_cap sizes the tested rect window (0 = auto: max(16, 2K)).
+    exact_cull: bool = flax.struct.field(pytree_node=False, default=True)
+    emit_enum_cap: int = flax.struct.field(pytree_node=False, default=0)
+    # Forward-kernel alpha power evaluation: "vpu" (elementwise quadratic
+    # form) or "mxu" (bilinear-form matmul, raster_fwd.tile_pixel_feats).
+    power_impl: str = flax.struct.field(pytree_node=False, default="vpu")
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -217,7 +226,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             chunk=cfg.chunk,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             fused_key=cfg.fused_key, depth_mode=cfg.depth_mode,
-            precision=cfg.kernel_precision)
+            precision=cfg.kernel_precision, exact_cull=cfg.exact_cull,
+            enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

@@ -85,7 +85,7 @@ def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     chunk: int, n_chan: int, bits_z: int = 0,
                     quantized_depth: bool = False,
-                    precision: str = "highest"):
+                    precision: str = "highest", power_impl: str = "vpu"):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -97,6 +97,7 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     cv_pad = -(-cv // 8) * 8
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
               tile_w=tile_w, chunk=chunk, precision=precision)
+    kw_fwd = dict(kw, power_impl=power_impl)
 
     def _prepare(tile_key, depth, pos, geom, chan, *, with_pos=True):
         """Sort + pack. with_pos=False (inference-only forward) drops the
@@ -146,14 +147,15 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         # custom_vjp primal path: runs only when NOT being differentiated
         rec_t, _, starts, counts = _prepare(
             tile_key, depth, pos, geom, chan, with_pos=False)
-        raw, _, _ = pallas_composite_tiles(rec_t, starts, counts, **kw)
+        raw, _, _ = pallas_composite_tiles(rec_t, starts, counts,
+                                           **kw_fwd)
         return raw
 
     def composite_fwd(tile_key, depth, pos, geom, chan):
         rec_t, spos, starts, counts = _prepare(tile_key, depth, pos,
                                                geom, chan)
         raw, log_t, n_active = pallas_composite_tiles(rec_t, starts,
-                                                      counts, **kw)
+                                                      counts, **kw_fwd)
         return raw, (rec_t, spos, starts, counts, log_t, n_active)
 
     def composite_bwd(res, d_raw):
@@ -191,7 +193,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   tile_h: int = 16, tile_w: int = 16, chunk: int = 128,
                   max_tiles_per_gaussian: int = 8,
                   fused_key: bool = True, depth_mode: str = "quantized",
-                  precision: str = "highest"
+                  precision: str = "highest", exact_cull: bool = True,
+                  enum_cap: int = 0, power_impl: str = "vpu"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -201,6 +204,11 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
       colors: (N, C) linear channels (RGB + any extra channels).
       opacity: (N,) activated opacity.
       bg: (C,) background added as bg * T_final per channel.
+      exact_cull: lossless per-(gaussian, tile) alpha-bound culling at
+        emission (see binning.emit_pairs) — K then caps passing tiles, not
+        rect tiles. enum_cap sizes the tested rect window (0 = auto).
+      power_impl: forward kernel alpha-power evaluation ("vpu" elementwise
+        or "mxu" bilinear-form matmul — raster_fwd.py).
 
     Returns:
       (channels (H, W, C), depth (H, W), alpha (H, W), n_dropped_rect).
@@ -211,8 +219,10 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     n_chan = colors.shape[-1]
     k_cap = max_tiles_per_gaussian
 
-    tile_key, _, n_dropped_rect = emit_pairs(proj, tile_h, tile_w,
-                                             grid_h, grid_w, k_cap)
+    cap = (enum_cap or max(16, 2 * k_cap)) if exact_cull else 0
+    tile_key, _, n_dropped_rect = emit_pairs(
+        proj, tile_h, tile_w, grid_h, grid_w, k_cap,
+        opacity=opacity if exact_cull else None, enum_cap=cap)
 
     def bcast(v):
         return jnp.broadcast_to(v[None, :], (k_cap, n)).reshape(-1)
@@ -228,7 +238,7 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
                                 n_chan, bits_z,
                                 bits_z > 0 and depth_mode == "quantized",
-                                precision)
+                                precision, power_impl)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

@@ -1,0 +1,120 @@
+"""Round-3 perf variants: full-pipeline fps per RasterConfig candidate.
+
+Measures the COMPLETE render (the honest bench quantity) under each
+candidate configuration, pipelined with perturbed inputs (PROFILE.md
+methodology), plus a one-frame numeric diff vs the baseline config and the
+emission drop count — so a speedup that silently changes the image or
+truncates pairs is visible immediately.
+
+Each variant compiles its own XLA program (~2.5-5 min cold); a hung Mosaic
+compile is abandoned via a worker-thread timeout (bench.py pattern) so the
+rest of the sweep still reports.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_r3_variants.py [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+
+import numpy as np
+
+VARIANT_TIMEOUT_S = 900
+
+
+def timed(name, fn, *a, **k):
+    box = {}
+
+    def run():
+        try:
+            box["out"] = fn(*a, **k)
+        except Exception as e:  # noqa: BLE001
+            box["err"] = repr(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(VARIANT_TIMEOUT_S)
+    if th.is_alive():
+        print(f"# {name}: blocked > {VARIANT_TIMEOUT_S}s — abandoned",
+              flush=True)
+        return None
+    if "err" in box:
+        print(f"# {name}: failed: {box['err']}", flush=True)
+        return None
+    return box.get("out")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.utils.compile_cache import enable
+    enable()
+    from dynamic3dgaussians_tpu.ops.camera import make_camera
+    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig, render
+    from dynamic3dgaussians_tpu.utils.timing import pipelined_ms
+
+    n, h, w = 200_000, 360, 640
+    rng = np.random.RandomState(0)
+    means = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.5, 0.99, (n,)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(.004, .015, (n, 3)).astype(np.float32))
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 6.0
+    cam = make_camera(w, h, [[500, 0, w / 2], [0, 500, h / 2], [0, 0, 1]],
+                      w2c)
+
+    def C(**kw):
+        base = dict(tile_h=16, tile_w=16, chunk=128,
+                    max_tiles_per_gaussian=4, exact_cull=False)
+        base.update(kw)
+        return RasterConfig(**base)
+
+    variants = {
+        "base_r2": C(),
+        "cull": C(exact_cull=True),
+        "cull_mxu": C(exact_cull=True, power_impl="mxu"),
+        "cull_k3": C(exact_cull=True, max_tiles_per_gaussian=3),
+        "cull_mxu_k3": C(exact_cull=True, power_impl="mxu",
+                         max_tiles_per_gaussian=3),
+        "cull_mxu_c256": C(exact_cull=True, power_impl="mxu", chunk=256),
+    }
+    names = sys.argv[1:] or list(variants)
+
+    ref_rgb = {}
+
+    def run_variant(name):
+        cfg = variants[name]
+
+        @jax.jit
+        def fwd(s):
+            out = render(cam, means + s, colors, opac, scales, quats,
+                         config=cfg, method="pallas")
+            return out.rgb, out.n_dropped_rect
+
+        rgb, nd = fwd(np.float32(0.0))
+        rgb = np.asarray(rgb)
+        nd = int(nd)
+        if "base" in ref_rgb:
+            dmax = float(np.max(np.abs(rgb - ref_rgb["base"])))
+        else:
+            ref_rgb["base"] = rgb
+            dmax = 0.0
+        ms = pipelined_ms(lambda s: fwd(s)[0])
+        return ms, nd, dmax
+
+    for name in names:
+        out = timed(name, run_variant, name)
+        if out is None:
+            continue
+        ms, nd, dmax = out
+        print(f"{name}: {ms:.3f} ms ({1e3 / ms:.1f} fps)  "
+              f"n_dropped_rect={nd}  max|rgb-base|={dmax:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
