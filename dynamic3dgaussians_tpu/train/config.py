@@ -47,6 +47,10 @@ class TrainConfig:
     # one recompile. max_capacity caps it (0 = unbounded).
     grow_capacity: bool = True
     max_capacity: int = 0
+    # double raster.max_tiles_per_gaussian (recompile) whenever a step
+    # reports rect-cap truncation — the reference never truncates
+    # (forward.cu:246-250)
+    grow_tiles: bool = True
     num_knn: int = 20                  # rigidity graph (train_beffor.py:243)
     knn_weight_beta: float = 2000.0    # exp(-2000 * d^2)
     # "exact" = O(N^2) MXU matmuls; "approx" = Morton-window (use above

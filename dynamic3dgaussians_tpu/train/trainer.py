@@ -123,7 +123,8 @@ def compute_loss(params: Dict, probe: jnp.ndarray, batch: Dict,
     aux = {"losses": losses, "radii": out.radii,
            "psnr": L.psnr(jnp.clip(im, 0, 1), batch["im"]),
            "n_dropped": (out.n_dropped_capacity + out.n_dropped_rect
-                         + out.n_dropped_tile_overflow)}
+                         + out.n_dropped_tile_overflow),
+           "n_dropped_rect": out.n_dropped_rect}
     return total, aux
 
 
@@ -140,7 +141,8 @@ def make_train_step(cfg: TrainConfig, rcfg: RasterConfig):
         aux = {"losses": jax.tree.map(jnp.mean, auxs["losses"]),
                "radii": jnp.max(auxs["radii"], axis=0),
                "psnr": jnp.mean(auxs["psnr"]),
-               "n_dropped": jnp.sum(auxs["n_dropped"])}
+               "n_dropped": jnp.sum(auxs["n_dropped"]),
+               "n_dropped_rect": jnp.sum(auxs["n_dropped_rect"])}
         return jnp.mean(losses), aux
 
     # NOTE: no donate_argnums — params/moments are small next to the
@@ -163,7 +165,8 @@ def make_train_step(cfg: TrainConfig, rcfg: RasterConfig):
         new_vars = densify_mod.accumulate_stats(variables, gprobe,
                                                 aux["radii"])
         metrics = {"loss": loss, "psnr": aux["psnr"],
-                   "n_dropped": aux["n_dropped"], **{
+                   "n_dropped": aux["n_dropped"],
+                   "n_dropped_rect": aux["n_dropped_rect"], **{
                        f"loss_{k}": v for k, v in aux["losses"].items()}}
         return new_params, new_opt, new_vars, metrics
 
@@ -365,8 +368,25 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                 if i > 0 and i % cfg.opacity_reset_every == 0:
                     params, opt_state = densify_mod.reset_opacity(params,
                                                                   opt_state)
-            if "on_step" in callbacks and i % cfg.report_every == 0:
-                callbacks["on_step"](t, i, metrics)
+            if i % cfg.report_every == 0:
+                # Rect-cap escalation: the CUDA reference never truncates a
+                # gaussian's tile rect (forward.cu:246-250); if the K
+                # emission slots overflowed this step, double K and rebuild
+                # the step (recompile amortized, same pattern as capacity
+                # growth) so no gradient systematically misses coverage.
+                if (cfg.grow_tiles
+                        and int(metrics.get("n_dropped_rect", 0)) > 0
+                        and cfg.raster.max_tiles_per_gaussian < 64):
+                    import dataclasses as _dc
+                    new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
+                    cfg.raster = _dc.replace(
+                        cfg.raster, max_tiles_per_gaussian=new_k)
+                    rcfg = raster_config(cfg)
+                    train_step = make_train_step(cfg, rcfg)
+                    if "on_grow_tiles" in callbacks:
+                        callbacks["on_grow_tiles"](t, i, new_k)
+                if "on_step" in callbacks:
+                    callbacks["on_step"](t, i, metrics)
 
         if is_initial:
             # Repack alive slots to the front so the neighbor graph and the
