@@ -9,6 +9,7 @@ Recovering the scene from those renders exercises the full training loop.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
@@ -98,3 +99,55 @@ def init_point_cloud(scene: Dict, noise: float = 0.03, seed: int = 1
     return np.concatenate([
         xyz, scene["colors"], scene["seg"][:, None]], axis=-1
     ).astype(np.float32)
+
+
+def write_reference_layout(out_root: str, seq: str, num_t: int,
+                           num_cams: int = 6, w: int = 128, h: int = 96,
+                           f: float = 110.0, scene: Dict | None = None
+                           ) -> str:
+    """Materialize the synthetic scene ON DISK in the reference's layout.
+
+    Produces exactly what train_beffor.py:19-136 consumes:
+      <root>/<seq>/train_meta.json   md["fn"|"hw"|"k"|"w2c"][t][c]
+      <root>/<seq>/ims/<c>/<t>.jpg   RGB frames
+      <root>/<seq>/seg/<c>/<t>.png   {0,1} dynamic masks
+      <root>/<seq>/init_pt_cld.npz   {"data": (N, 7) [xyz rgb seg]}
+
+    so `cli train` (file path) -> `params.npz` -> `cli visualize` exercises
+    the reference's complete file-in/file-out artifact flow.
+    """
+    import json
+
+    from PIL import Image
+
+    scene = scene or make_gt_scene()
+    dataset, w2c_stack, cams = make_dataset(scene, num_t, num_cams=num_cams,
+                                            w=w, h=h, f=f)
+    base = os.path.join(out_root, seq)
+    k_mat = [[f, 0.0, w / 2.0], [0.0, f, h / 2.0], [0.0, 0.0, 1.0]]
+    md = {"fn": [], "hw": [[h, w]] * num_cams, "k": [], "w2c": []}
+    for t in range(num_t):
+        fns, ks, w2cs = [], [], []
+        for c, frame in enumerate(dataset[t]):
+            fn = f"{c}/{t:06d}.jpg"
+            fns.append(fn)
+            ks.append(k_mat)
+            w2cs.append(np.asarray(w2c_stack[c], np.float64).tolist())
+            im8 = (np.clip(np.asarray(frame["im"]), 0, 1)
+                   * 255).astype(np.uint8)
+            seg8 = ((np.asarray(frame["seg"])[..., 0] > 0.5)
+                    * 255).astype(np.uint8)
+            im_path = os.path.join(base, "ims", fn)
+            seg_path = os.path.join(base, "seg", fn.replace(".jpg", ".png"))
+            os.makedirs(os.path.dirname(im_path), exist_ok=True)
+            os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+            Image.fromarray(im8).save(im_path, quality=95)
+            Image.fromarray(seg8).save(seg_path)
+        md["fn"].append(fns)
+        md["k"].append(ks)
+        md["w2c"].append(w2cs)
+    with open(os.path.join(base, "train_meta.json"), "w") as fh:
+        json.dump(md, fh)
+    np.savez(os.path.join(base, "init_pt_cld.npz"),
+             data=init_point_cloud(scene))
+    return base
