@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
-    GEOM_ROWS, PRECISIONS, lane_inclusive_scan, tile_pixel_coords)
+    GEOM_ROWS, LN2, PRECISIONS, lane_inclusive_scan, tile_pixel_coords)
 
 
 def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
@@ -132,20 +132,20 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
             dy = y - py
             p0 = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             power = jnp.minimum(p0, 0.0)
-            e = jnp.exp(power)
+            e = jnp.exp2(power)           # conic rows pre-scaled by log2(e)
             raw = op * e
             ok = ((lane >= shift - k * chunk)
                   & (lane < shift + count - k * chunk))
             alive = (raw >= ALPHA_EPS) & ok
             alpha = jnp.where(alive, jnp.minimum(ALPHA_MAX, raw), 0.0)
 
-            logs = jnp.log1p(-alpha)
+            logs = jnp.log2(1.0 - alpha)
             cum_incl = lane_inclusive_scan(logs, chunk, interpret,
                                            scan_impl)
             cum_excl = cum_incl - logs
             s_k = cum_incl[:, chunk - 1:chunk]
             log_t_start = log_t_end - s_k
-            t_exc = jnp.exp(log_t_start + cum_excl)       # (P, G)
+            t_exc = jnp.exp2(log_t_start + cum_excl)      # (P, G)
             w = alpha * t_exc
             vals = rec_vmem[slot, GEOM_ROWS:]             # (CV, G)
             dw = jax.lax.dot_general(
@@ -158,7 +158,8 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
             suffix = (u_tot - u_incl) + s_carry           # strict lower sum
             d_alpha = dw * t_exc - suffix / (1.0 - alpha)
             d_raw = jnp.where(alive & (raw <= ALPHA_MAX), d_alpha, 0.0)
-            d_power = jnp.where(p0 < 0.0, d_raw * raw, 0.0)
+            # alpha = op * 2^power: d alpha / d power = raw * ln2
+            d_power = jnp.where(p0 < 0.0, d_raw * raw * LN2, 0.0)
 
             # wait for this output slot's previous write before refilling
             @pl.when(m >= 2)

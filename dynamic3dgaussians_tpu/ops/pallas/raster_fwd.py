@@ -46,9 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 
-GEOM_ROWS = 8  # [x, y, conic_a, conic_b, conic_c, opacity, pad, pad]
+GEOM_ROWS = 8  # [x, y, conic_a', conic_b', conic_c', opacity, pad, pad]
 T_DEAD = 1e-4  # early-termination threshold (forward.cu:367-371)
-LOG_T_DEAD = -9.210340371976182  # log(T_DEAD)
+LOG2_T_DEAD = -13.287712379549449  # log2(T_DEAD)
+# Both kernels run transmittance in BASE-2 log space: the record table's
+# conic rows arrive PRE-SCALED by log2(e) (ops/sorted_raster.py), so the
+# quadratic form yields log2-alpha directly and the VPU transcendentals are
+# the hardware-native exp2/log2 pair — no ln<->log2 conversion multiplies
+# anywhere in the hot loop. (exp(x) lowers as exp2(x*log2e) anyway; folding
+# the constant into the conics makes the conversion free, and log2(1-alpha)
+# replaces the costlier log1p — safe because any nonzero alpha >= 1/255, so
+# 1-alpha is computed exactly to f32 rounding.)
+LN2 = 0.6931471805599453
 
 # Mosaic supports only HIGHEST/DEFAULT dot precisions; after the cumsum
 # rewrite the kernels' matmuls are (P,G)@(G,CV)-sized and negligible, so
@@ -122,7 +131,8 @@ def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
     """(P, G) alpha for one record chunk with [lane_lo, lane_hi) validity.
 
     Shared between the forward and backward kernels so both see bitwise
-    identical alphas. `g` is the (8, G) geometry block.
+    identical alphas. `g` is the (8, G) geometry block whose conic rows are
+    pre-scaled by log2(e): the quadratic form is log2-alpha's exponent.
     """
     x, y = g[0:1, :], g[1:2, :]
     ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
@@ -131,7 +141,7 @@ def chunk_alpha_masked(g, px, py, lane_lo, lane_hi, chunk):
     dy = y - py
     power = jnp.minimum(
         -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy, 0.0)
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp2(power))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     ok = (lane >= lane_lo) & (lane < lane_hi)
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
@@ -186,7 +196,7 @@ def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
             preferred_element_type=jnp.float32)
     p0 = (bdot(c3) + bdot(c2)) + bdot(c1)      # (P, G)
     power = jnp.minimum(p0, 0.0)
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp2(power))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     ok = (lane >= lane_lo) & (lane < lane_hi)
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
@@ -224,7 +234,7 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
         get_dma(0, 0).start()
 
         def cond(k):
-            return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG_T_DEAD)
+            return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG2_T_DEAD)
 
         def body(k):
             slot = k % 2
@@ -243,17 +253,17 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
                 alpha = chunk_alpha_masked(
                     rec_vmem[slot, :GEOM_ROWS], px, py, shift - k * chunk,
                     shift + count - k * chunk, chunk)
-            logs = jnp.log1p(-alpha)                  # (P, G)
+            logs = jnp.log2(1.0 - alpha)              # (P, G); 0 for masked
             # exclusive prefix along the chunk axis as a VPU scan; the MXU
             # triangular-matmul formulation costs ~an order of magnitude
             # more at f32 precision
             cum_incl = lane_inclusive_scan(logs, chunk, interpret,
                                            scan_impl)
             cum_excl = cum_incl - logs
-            # transmittance kept purely in log space: exact under heavy
+            # transmittance kept purely in log2 space: exact under heavy
             # occlusion (no 1-alpha cancellation) and bitwise identical to
             # the backward kernel's reconstruction.
-            tw = jnp.exp(cum_excl + logt_scr[:])       # (P, G)
+            tw = jnp.exp2(cum_excl + logt_scr[:])      # (P, G)
             w = alpha * tw
             acc_scr[:] += jax.lax.dot_general(
                 w, rec_vmem[slot, GEOM_ROWS:], (((1,), (1,)), ((), ())),

@@ -227,8 +227,14 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     def bcast(v):
         return jnp.broadcast_to(v[None, :], (k_cap, n)).reshape(-1)
 
-    geom = (bcast(proj.x2d), bcast(proj.y2d), bcast(proj.conic_a),
-            bcast(proj.conic_b), bcast(proj.conic_c), bcast(opacity))
+    # Conic rows are pre-scaled by log2(e): the kernels run transmittance in
+    # base-2 log space (hardware-native exp2/log2, raster_fwd.py). This
+    # scaling sits OUTSIDE the custom_vjp, so autodiff chains the conic
+    # gradients back through it automatically.
+    log2e = jnp.float32(1.4426950408889634)
+    geom = (bcast(proj.x2d), bcast(proj.y2d), bcast(proj.conic_a * log2e),
+            bcast(proj.conic_b * log2e), bcast(proj.conic_c * log2e),
+            bcast(opacity))
     depth = bcast(proj.depth)
     colors_t = colors.T                            # (C, N) one relayout pass
     chan = tuple(bcast(colors_t[c]) for c in range(n_chan))

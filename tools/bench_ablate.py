@@ -65,8 +65,10 @@ def main():
 
         def bcast(v):
             return jnp.broadcast_to(v[None, :], (k_cap, n)).reshape(-1)
-        geom = (bcast(proj.x2d), bcast(proj.y2d), bcast(proj.conic_a),
-                bcast(proj.conic_b), bcast(proj.conic_c), bcast(op))
+        log2e = jnp.float32(1.4426950408889634)   # base-2 kernels
+        geom = (bcast(proj.x2d), bcast(proj.y2d),
+                bcast(proj.conic_a * log2e), bcast(proj.conic_b * log2e),
+                bcast(proj.conic_c * log2e), bcast(op))
         chan = tuple(bcast(colors.T[c]) for c in range(3))
         depth = bcast(proj.depth)
         pos = lax.broadcasted_iota(jnp.int32, (1, k_cap * n), 1)[0]
