@@ -78,9 +78,7 @@ def main():
         "base_r2": C(),
         "cull": C(exact_cull=True),
         "cull_mxu": C(exact_cull=True, power_impl="mxu"),
-        "cull_k3": C(exact_cull=True, max_tiles_per_gaussian=3),
-        "cull_mxu_k3": C(exact_cull=True, power_impl="mxu",
-                         max_tiles_per_gaussian=3),
+        "cull_c256": C(exact_cull=True, chunk=256),
         "cull_mxu_c256": C(exact_cull=True, power_impl="mxu", chunk=256),
     }
     names = sys.argv[1:] or list(variants)

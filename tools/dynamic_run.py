@@ -1,0 +1,116 @@
+"""BASELINE config-3 ladder run: a long dynamic sequence at realistic N.
+
+VERDICT r2 item 5: >=10 timesteps at >=50k alive gaussians with the FULL
+physics-loss set (rigidity/rotation/isometry/floor + im/seg), exercising
+per-timestep extrapolation init, the frozen post-t0 kNN graph, and the
+per-timestep Adam reset at scale (reference loop: train_beffor.py:295-339,
+~2-2.8k iters/timestep at 112-150 timesteps).
+
+Logs per-timestep PSNR + wall time + alive counts to
+artifacts/dynamic_run_<backend>.json.
+
+TPU: PYTHONPATH=.:/root/.axon_site python tools/dynamic_run.py
+CPU smoke: PYTHONPATH=. PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python tools/dynamic_run.py --n 2000 --timesteps 3 --iters0 40 \
+    --iters 20 --hw 96
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--timesteps", type=int, default=12)
+    ap.add_argument("--iters0", type=int, default=2000)
+    ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--cams", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--k_cap", type=int, default=8)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic3dgaussians_tpu.utils.compile_cache import enable
+    enable()
+    from dynamic3dgaussians_tpu.data import synthetic
+    from dynamic3dgaussians_tpu.models import gaussians as G
+    from dynamic3dgaussians_tpu.train.config import RasterSettings, \
+        TrainConfig
+    from dynamic3dgaussians_tpu.train.trainer import train
+
+    backend = jax.default_backend()
+    hw = args.hw
+    t0 = time.time()
+    scene = synthetic.make_gt_scene(n_fg=args.n // 2, n_bg=args.n // 2,
+                                    seed=0)
+    dataset, w2c, _ = synthetic.make_dataset(
+        scene, num_t=args.timesteps, num_cams=args.cams, w=hw, h=hw,
+        f=float(hw) * 0.9)
+    pt = synthetic.init_point_cloud(scene, noise=0.02)
+    t_data = time.time() - t0
+
+    cfg = TrainConfig(
+        num_timesteps=args.timesteps,
+        iters_first_timestep=args.iters0,
+        iters_per_timestep=args.iters,
+        capacity=G.round_capacity(int(args.n * 1.3)),
+        densify_start=100, densify_every=100,
+        densify_end=min(args.iters0, 5000),
+        grow_capacity=True, report_every=100,
+        raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
+                              max_tiles_per_gaussian=args.k_cap))
+
+    log = {"backend": backend, "n_init": args.n, "hw": hw,
+           "cams": args.cams, "timesteps": args.timesteps,
+           "iters0": args.iters0, "iters": args.iters,
+           "t_data_s": round(t_data, 1), "steps": [], "per_timestep": []}
+    t_state = {"t": -1, "start": time.time()}
+
+    def on_step(t, i, metrics):
+        log["steps"].append({"t": t, "i": i,
+                             "psnr": round(float(metrics["psnr"]), 3),
+                             "loss": round(float(metrics["loss"]), 5)})
+        print(f"t={t} i={i} psnr={float(metrics['psnr']):.2f}", flush=True)
+
+    def on_timestep(t, params, variables):
+        now = time.time()
+        iters = args.iters0 if t == 0 else args.iters
+        dt = now - t_state["start"]
+        t_state["start"] = now
+        n_alive = int(np.asarray(variables["alive"]).sum())
+        last = [s["psnr"] for s in log["steps"] if s["t"] == t]
+        log["per_timestep"].append({
+            "t": t, "wall_s": round(dt, 1), "n_alive": n_alive,
+            "it_per_s": round(iters / dt, 2),
+            "final_psnr": last[-1] if last else None})
+        print(f"== timestep {t}: {dt:.1f}s ({iters / dt:.1f} it/s), "
+              f"alive={n_alive}", flush=True)
+
+    out_params = train(dataset, cfg, pt, w2c,
+                       callbacks={"on_step": on_step,
+                                  "on_timestep": on_timestep})
+    log["t_total_s"] = round(time.time() - t0, 1)
+    log["final_alive"] = log["per_timestep"][-1]["n_alive"]
+
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", f"dynamic_run_{backend}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(log, f, indent=1)
+    tail = [p["final_psnr"] for p in log["per_timestep"]]
+    print(f"wrote {out}; per-timestep psnr {tail}")
+
+
+if __name__ == "__main__":
+    main()

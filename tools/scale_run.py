@@ -29,6 +29,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=30_000)
+    # GT scene complexity multiplier: the GT soup has n*gt_mult gaussians
+    # but the init cloud is subsampled to n, so densification must GROW the
+    # model to fit (the reference's 30k->200-300k regime, train.py:419) —
+    # recovering an equally-sized GT never pressures growth.
+    ap.add_argument("--gt_mult", type=int, default=1)
     ap.add_argument("--hw", type=int, default=400)
     ap.add_argument("--cams", type=int, default=6)
     ap.add_argument("--iters", type=int, default=500)
@@ -56,11 +61,16 @@ def main():
     backend = jax.default_backend()
     hw = args.hw
     t0 = time.time()
-    scene = synthetic.make_gt_scene(n_fg=args.n // 2, n_bg=args.n // 2,
+    n_gt = args.n * args.gt_mult
+    scene = synthetic.make_gt_scene(n_fg=n_gt // 2, n_bg=n_gt // 2,
                                     seed=0)
     dataset, w2c, _ = synthetic.make_dataset(
         scene, num_t=1, num_cams=args.cams, w=hw, h=hw, f=float(hw) * 0.9)
     pt = synthetic.init_point_cloud(scene, noise=0.03)
+    if args.gt_mult > 1:
+        sel = np.random.RandomState(2).choice(len(pt), args.n,
+                                              replace=False)
+        pt = pt[np.sort(sel)]
     t_data = time.time() - t0
 
     cfg = TrainConfig(
