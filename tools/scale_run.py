@@ -96,7 +96,8 @@ def main():
     key = jax.random.PRNGKey(0)
     log = {"backend": backend, "n_init": args.n, "hw": hw,
            "cams": args.cams, "iters": args.iters, "t_data_s": t_data,
-           "psnr": [], "densify": [], "n_dropped": 0}
+           "psnr": [], "densify": [], "grow_tiles": [], "n_dropped": 0,
+           "n_dropped_rect": 0}
     t_train = time.time()
     todo = []
     for i in range(args.iters):
@@ -130,6 +131,22 @@ def main():
             p = float(metrics["psnr"])
             log["psnr"].append({"i": i, "psnr": round(p, 3)})
             log["n_dropped"] += int(metrics["n_dropped"])
+            nd_rect = int(metrics.get("n_dropped_rect", 0))
+            log["n_dropped_rect"] += nd_rect
+            # rect-cap escalation (trainer.py pattern): the reference never
+            # truncates a tile rect (forward.cu:246-250) — double K and
+            # rebuild the step whenever a report shows truncation.
+            if nd_rect > 0 and cfg.raster.max_tiles_per_gaussian < 64:
+                import dataclasses as _dc
+                new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
+                cfg = _dc.replace(cfg, raster=_dc.replace(
+                    cfg.raster, max_tiles_per_gaussian=new_k))
+                rcfg = raster_config(cfg)
+                step = make_train_step(cfg, rcfg)
+                log["grow_tiles"].append({"i": i, "k": new_k,
+                                          "dropped_rect": nd_rect})
+                print(f"iter {i}: rect drops {nd_rect} -> K={new_k}",
+                      flush=True)
             print(f"iter {i}: psnr {p:.2f} alive "
                   f"{int(jnp.sum(variables['alive']))}", flush=True)
     log["t_train_s"] = round(time.time() - t_train, 1)
