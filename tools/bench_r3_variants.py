@@ -113,6 +113,46 @@ def main():
         print(f"{name}: {ms:.3f} ms ({1e3 / ms:.1f} fps)  "
               f"n_dropped_rect={nd}  max|rgb-base|={dmax:.2e}", flush=True)
 
+    # ---- microprobes deciding round-3 design questions ----
+    def probe_gather():
+        """Row-gather cost at playback-cache shapes: (200k, 16) table
+        gathered by 800k pair indices. Decides whether a cached-permutation
+        playback mode (sort every M frames, gather-apply in between) can
+        beat re-sorting."""
+        table = jnp.asarray(rng.uniform(size=(n, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, n, size=(4 * n,)).astype(np.int32))
+
+        @jax.jit
+        def g(s):
+            return jnp.sum(table[idx] + s)
+        g(np.float32(0.0)).block_until_ready()
+        return pipelined_ms(g)
+
+    def probe_sort_len():
+        """lax.sort cost vs length at 10 payload rows (K=2 hypothesis)."""
+        outs = {}
+        for ln in (400_000, 800_000):
+            key = jnp.asarray(rng.randint(0, 1 << 30, size=(ln,)
+                                          ).astype(np.int32))
+            rows = tuple(jnp.asarray(rng.uniform(size=(ln,)
+                                                 ).astype(np.float32))
+                         for _ in range(9))
+
+            @jax.jit
+            def s(d, key=key, rows=rows):
+                out = jax.lax.sort((key + d,) + rows, num_keys=1,
+                                   is_stable=False)
+                return out[0][0] + out[1][0]
+            s(jnp.int32(0)).block_until_ready()
+            outs[ln] = pipelined_ms(lambda d: s(jnp.int32(d)))
+        return outs
+
+    for pname, pfn in [("gather_800k_rows16", probe_gather),
+                       ("sort_len_scaling", probe_sort_len)]:
+        out = timed(pname, pfn)
+        if out is not None:
+            print(f"probe {pname}: {out}", flush=True)
+
 
 if __name__ == "__main__":
     main()
