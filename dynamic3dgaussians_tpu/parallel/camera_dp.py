@@ -77,7 +77,15 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
     def local_step(params, probe, batch, variables, opt_mu, opt_nu,
                    opt_step, lrs, is_initial):
         """Whole step inside shard_map for the psum_scatter mode: grads
-        reduce-scattered, Adam on the 1/K row shard, params all-gathered."""
+        reduce-scattered, Adam on the 1/K row shard, params all-gathered.
+
+        Adam's mu/nu arrive and leave as the device's 1/K ROW SHARD (their
+        in/out_specs are P(axis)): the moments never travel the ICI at all,
+        so ZeRO's per-step wire bytes are reduce_scatter(grads) +
+        all_gather(params) ~= one all-reduce — not the 3x-gather a
+        replicated-moments formulation pays. Between steps the moments live
+        as ordinary device-sharded global arrays; rare full-array consumers
+        (densify events, capacity growth) just trigger an XLA reshard."""
         loss, aux, gp, gprobe = local_grads(params, probe, batch, variables,
                                             is_initial, reduce_gp=False)
         alive = variables["alive"]
@@ -88,31 +96,29 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
         def scatter(v):
             return jax.lax.psum_scatter(v, axis, scatter_dimension=0,
                                         tiled=True) / k_dev
-        gp_sh, p_sh, mu_sh, nu_sh = {}, {}, {}, {}
+        gp_sh, p_sh = {}, {}
         sl = lambda v: jax.lax.dynamic_slice_in_dim(v, d * shard, shard)
         for k, v in gp.items():
             if k in G.CAMERA_KEYS:
                 gp_sh[k] = jax.lax.pmean(v, axis)
-                p_sh[k], mu_sh[k], nu_sh[k] = params[k], opt_mu[k], opt_nu[k]
+                p_sh[k] = params[k]
             else:
                 m = sl(alive).reshape((-1,) + (1,) * (v.ndim - 1))
                 gp_sh[k] = jnp.where(m, scatter(v), 0.0)
-                p_sh[k], mu_sh[k], nu_sh[k] = sl(params[k]), sl(opt_mu[k]), \
-                    sl(opt_nu[k])
+                p_sh[k] = sl(params[k])
         new_p_sh, new_opt_sh = optim.step(
-            p_sh, gp_sh, optim.AdamState(mu=mu_sh, nu=nu_sh, step=opt_step),
+            p_sh, gp_sh, optim.AdamState(mu=opt_mu, nu=opt_nu,
+                                         step=opt_step),
             lrs)
-        new_params, new_mu, new_nu = {}, {}, {}
+        new_params = {}
         for k in gp:
             if k in G.CAMERA_KEYS:
-                new_params[k], new_mu[k], new_nu[k] = \
-                    new_p_sh[k], new_opt_sh.mu[k], new_opt_sh.nu[k]
+                new_params[k] = new_p_sh[k]
             else:
-                ag = lambda v: jax.lax.all_gather(v, axis, tiled=True)
-                new_params[k] = ag(new_p_sh[k])
-                new_mu[k] = ag(new_opt_sh.mu[k])
-                new_nu[k] = ag(new_opt_sh.nu[k])
-        return loss, aux, gprobe, new_params, new_mu, new_nu, new_opt_sh.step
+                new_params[k] = jax.lax.all_gather(new_p_sh[k], axis,
+                                                   tiled=True)
+        return (loss, aux, gprobe, new_params, new_opt_sh.mu,
+                new_opt_sh.nu, new_opt_sh.step)
 
     @functools.partial(jax.jit, static_argnames=("is_initial",))
     def dp_train_step(params, opt_state, variables, batch, lrs,
@@ -121,11 +127,16 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
         if reduce == "psum_scatter":
             assert variables["alive"].shape[0] % k_dev == 0, \
                 "capacity must divide by the data-axis size"
+            # per-leaf moment specs: gaussian-row leaves stay device-sharded
+            # across steps (no gather), camera-calibration leaves replicate
+            mom_spec = {k: (P() if k in G.CAMERA_KEYS else P(axis))
+                        for k in opt_state.mu}
             sharded = shard_map(
                 functools.partial(local_step, is_initial=is_initial),
                 mesh=mesh,
-                in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P()),
-                out_specs=(P(), P(), P(), P(), P(), P(), P()),
+                in_specs=(P(), P(), P(axis), P(), mom_spec, mom_spec,
+                          P(), P()),
+                out_specs=(P(), P(), P(), P(), mom_spec, mom_spec, P()),
                 check_vma=False,
             )
             loss, aux, gprobe, new_params, new_mu, new_nu, new_step = \

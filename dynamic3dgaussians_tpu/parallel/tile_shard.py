@@ -74,8 +74,10 @@ def make_tile_sharded_render(cam: Camera, mesh: Mesh, axis: str = "x",
         key_local = jnp.where(
             (tile_key >= t0) & (tile_key < t0 + tiles_local),
             tile_key - t0, tiles_local)
-        geom = (bcast(proj.x2d), bcast(y_local), bcast(proj.conic_a),
-                bcast(proj.conic_b), bcast(proj.conic_c), bcast(op))
+        log2e = jnp.float32(1.4426950408889634)  # base-2 kernels
+        geom = (bcast(proj.x2d), bcast(y_local),
+                bcast(proj.conic_a * log2e), bcast(proj.conic_b * log2e),
+                bcast(proj.conic_c * log2e), bcast(op))
         chan = tuple(bcast(colors_t[c]) for c in range(n_chan))
         depth_b = bcast(proj.depth)
         pos = jax.lax.broadcasted_iota(

@@ -42,17 +42,19 @@ def collective_bytes(hlo_text: str):
     counts = {k: 0 for k in sizes}
     dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2,
                 "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+    # result shape may be a TUPLE (XLA combines several tensors into one
+    # collective op) — sum every bracketed shape between '=' and the kind
     pat = re.compile(
-        r"(\w+\[[\d,]*\])[^=]*= (all-reduce|reduce-scatter|all-gather)\b")
+        r"=\s*([^=\n]*?)\s+(all-reduce|reduce-scatter|all-gather)\(")
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
     for m in pat.finditer(hlo_text):
-        shape, kind = m.group(1), m.group(2)
-        dt = shape.split("[")[0]
-        dims = shape.split("[")[1].rstrip("]")
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        sizes[kind] += n * dt_bytes.get(dt, 4)
+        shapes, kind = m.group(1), m.group(2)
+        for dt, dims in shape_pat.findall(shapes):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            sizes[kind] += n * dt_bytes.get(dt, 4)
         counts[kind] += 1
     return {k: {"count": counts[k], "bytes": sizes[k]} for k in sizes}
 
@@ -68,8 +70,9 @@ def overlap_positions(hlo_text: str):
     entry = hlo_text.split("ENTRY", 1)[-1]
     lines = [ln for ln in entry.splitlines() if "=" in ln]
     rs_idx = [i for i, ln in enumerate(lines)
-              if re.search(r"= (reduce-scatter|all-reduce)", ln)]
-    fusion_idx = [i for i, ln in enumerate(lines) if "= fusion" in ln]
+              if re.search(r"\b(reduce-scatter|all-reduce)\(", ln)]
+    fusion_idx = [i for i, ln in enumerate(lines)
+                  if re.search(r"\bfusion\(", ln)]
     return {
         "entry_instructions": len(lines),
         "reduce_positions": rs_idx[:64],
