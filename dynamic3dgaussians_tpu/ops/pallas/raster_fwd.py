@@ -80,11 +80,29 @@ def lane_inclusive_scan(x, chunk, interpret, impl="matmul_split3"):
       * "roll_scan": Hillis-Steele pltpu.roll scan — measured SLOWER than
         the matmuls on v5e (lane rolls are not cheap in Mosaic); kept for
         comparison.
+      * "matmul_block128": hierarchical two-level scan for chunk > 128 —
+        scan each 128-lane block with the split3 matmuls, then add the
+        running block totals. Scan FLOPs stay P*128 per element instead of
+        P*chunk, so a big chunk amortizes loop/DMA overhead without paying
+        a quadratically larger triangular matmul.
     Interpret mode (CPU tests) uses jnp.cumsum — same math, accumulation
     order differs by ~1 ulp per term.
     """
     if interpret:
         return jnp.cumsum(x, axis=1)
+    if impl == "matmul_block128" and chunk > 128:
+        p = x.shape[0]
+        blocks = chunk // 128
+        parts = []
+        carry = jnp.zeros((p, 1), jnp.float32)
+        for b in range(blocks):
+            xb = x[:, b * 128:(b + 1) * 128]
+            sb = lane_inclusive_scan(xb, 128, interpret, "matmul_split3")
+            parts.append(sb + carry)
+            carry = carry + sb[:, 127:128]
+        return jnp.concatenate(parts, axis=1)
+    if impl == "matmul_block128":
+        impl = "matmul_split3"
     if impl == "roll_scan":
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         d = 1

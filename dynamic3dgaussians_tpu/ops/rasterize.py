@@ -83,6 +83,11 @@ class RasterConfig:
     # Forward-kernel alpha power evaluation: "vpu" (elementwise quadratic
     # form) or "mxu" (bilinear-form matmul, raster_fwd.tile_pixel_feats).
     power_impl: str = flax.struct.field(pytree_node=False, default="vpu")
+    # Transmittance prefix-scan implementation (raster_fwd.
+    # lane_inclusive_scan): "matmul_split3" | "matmul_block128" (chunk>128)
+    # | "matmul_highest" | "roll_scan".
+    scan_impl: str = flax.struct.field(pytree_node=False,
+                                       default="matmul_split3")
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -227,7 +232,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             fused_key=cfg.fused_key, depth_mode=cfg.depth_mode,
             precision=cfg.kernel_precision, exact_cull=cfg.exact_cull,
-            enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl)
+            enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl,
+            scan_impl=cfg.scan_impl)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

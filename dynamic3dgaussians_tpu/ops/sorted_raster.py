@@ -85,7 +85,8 @@ def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     chunk: int, n_chan: int, bits_z: int = 0,
                     quantized_depth: bool = False,
-                    precision: str = "highest", power_impl: str = "vpu"):
+                    precision: str = "highest", power_impl: str = "vpu",
+                    scan_impl: str = "matmul_split3"):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -96,7 +97,8 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     cv = n_chan + 2
     cv_pad = -(-cv // 8) * 8
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
-              tile_w=tile_w, chunk=chunk, precision=precision)
+              tile_w=tile_w, chunk=chunk, precision=precision,
+              scan_impl=scan_impl)
     kw_fwd = dict(kw, power_impl=power_impl)
 
     def _prepare(tile_key, depth, pos, geom, chan, *, with_pos=True):
@@ -194,7 +196,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   max_tiles_per_gaussian: int = 8,
                   fused_key: bool = True, depth_mode: str = "quantized",
                   precision: str = "highest", exact_cull: bool = True,
-                  enum_cap: int = 0, power_impl: str = "vpu"
+                  enum_cap: int = 0, power_impl: str = "vpu",
+                  scan_impl: str = "matmul_split3"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -244,7 +247,7 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
                                 n_chan, bits_z,
                                 bits_z > 0 and depth_mode == "quantized",
-                                precision, power_impl)
+                                precision, power_impl, scan_impl)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

@@ -80,6 +80,8 @@ def main():
         "cull_mxu": C(exact_cull=True, power_impl="mxu"),
         "cull_c256": C(exact_cull=True, chunk=256),
         "cull_mxu_c256": C(exact_cull=True, power_impl="mxu", chunk=256),
+        "cull_mxu_c256b": C(exact_cull=True, power_impl="mxu", chunk=256,
+                            scan_impl="matmul_block128"),
     }
     names = sys.argv[1:] or list(variants)
 

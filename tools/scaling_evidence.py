@@ -171,8 +171,9 @@ def main():
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/scaling_evidence.json", "w") as fh:
         json.dump(out, fh, indent=2)
-    with gzip.open("artifacts/hlo_psum_scatter.txt.gz", "wt") as fh:
-        fh.write(hlo_by_mode["psum_scatter"])
+    for mode, text in hlo_by_mode.items():
+        with gzip.open(f"artifacts/hlo_{mode}.txt.gz", "wt") as fh:
+            fh.write(text)
     print(json.dumps(out["summary"]))
 
 
