@@ -73,7 +73,11 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
     n_active = nact_ref[i]
     base = pl.multiple_of((start // chunk) * chunk, chunk)
     shift = start - base
-    n_chunks = (shift + count + chunk - 1) // chunk
+    # mirror the forward's empty-tile skip: an unaligned empty tile must
+    # not zero-fill its down-aligned chunk (those slots belong to the
+    # previous tile's pairs and were already written)
+    n_chunks = jnp.where(count == 0, 0,
+                         (shift + count + chunk - 1) // chunk)
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)

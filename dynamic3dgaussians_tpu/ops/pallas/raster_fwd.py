@@ -230,7 +230,10 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
     count = counts_ref[i]
     base = pl.multiple_of((start // chunk) * chunk, chunk)
     shift = start - base
-    n_chunks = (shift + count + chunk - 1) // chunk
+    # empty tiles contribute nothing even when unaligned (shift > 0 would
+    # otherwise schedule one fully-masked chunk) — skip them outright
+    n_chunks = jnp.where(count == 0, 0,
+                         (shift + count + chunk - 1) // chunk)
     p = tile_h * tile_w
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
     if power_impl == "mxu":
