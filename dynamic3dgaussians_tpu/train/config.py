@@ -27,6 +27,10 @@ class RasterSettings:
     # gaussians; tiny test scenes with huge splats set their own.
     max_tiles_per_gaussian: int = 8
     pairs_per_gaussian: int = 8
+    # pallas-path perf knobs (ops/rasterize.RasterConfig docs)
+    exact_cull: bool = True
+    power_impl: str = "vpu"
+    scan_impl: str = "matmul_split3"
 
 
 @dataclasses.dataclass

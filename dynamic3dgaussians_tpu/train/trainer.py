@@ -48,7 +48,9 @@ def raster_config(cfg: TrainConfig) -> RasterConfig:
     return RasterConfig(tile_h=r.tile_h, tile_w=r.tile_w, chunk=r.chunk,
                         max_per_tile=r.max_per_tile,
                         max_tiles_per_gaussian=r.max_tiles_per_gaussian,
-                        pairs_per_gaussian=r.pairs_per_gaussian)
+                        pairs_per_gaussian=r.pairs_per_gaussian,
+                        exact_cull=r.exact_cull, power_impl=r.power_impl,
+                        scan_impl=r.scan_impl)
 
 
 def densify_with_growth(densify_jit, params, variables, opt_state, i, sub,
