@@ -92,7 +92,16 @@ def main():
     cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128,
                        max_tiles_per_gaussian=4)
 
-    args = tuple(map(jnp.asarray, (means, colors, opac, scales, quats)))
+    # device-touching setup gets its own timeout: a dead/wedged tunnel can
+    # block the very first transfer forever, and the driver contract
+    # requires a JSON line no matter what
+    args = timed_phase("setup", lambda: tuple(
+        map(jnp.asarray, (means, colors, opac, scales, quats))))
+    if args is None:
+        print(json.dumps({"metric": "render_fps_200k", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "error": "device setup blocked"}))
+        return
 
     # ---- forward render fps ----
     @jax.jit
@@ -194,7 +203,13 @@ def main():
 
 if __name__ == "__main__":
     import os
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the JSON line MUST land
+        print(f"# bench aborted: {e!r}", flush=True)
+        print(json.dumps({"metric": "render_fps_200k", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "error": repr(e)[:200]}))
     # abandoned phase threads may be blocked inside the TPU runtime and
     # would hang normal interpreter shutdown; all results are printed.
     os._exit(0)
