@@ -88,6 +88,12 @@ class RasterConfig:
     # | "matmul_highest" | "roll_scan".
     scan_impl: str = flax.struct.field(pytree_node=False,
                                        default="matmul_split3")
+    # Transport geometry/channel rows through the sort as packed bf16
+    # pairs (sorted_raster.pack2_bf16): ~half the payload bytes and rows.
+    # Values reach the kernel with bf16 rounding (x/y tile-relative, so
+    # ~0.06 px); below the 8-bit image quantum, off by default for
+    # bit-strict golden parity.
+    pack_records: bool = flax.struct.field(pytree_node=False, default=False)
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -233,7 +239,7 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             fused_key=cfg.fused_key, depth_mode=cfg.depth_mode,
             precision=cfg.kernel_precision, exact_cull=cfg.exact_cull,
             enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl,
-            scan_impl=cfg.scan_impl)
+            scan_impl=cfg.scan_impl, pack_records=cfg.pack_records)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

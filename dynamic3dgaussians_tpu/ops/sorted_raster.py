@@ -81,18 +81,48 @@ def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
+def pack2_f16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Round two f32 rows to f16 and pack them into one i32 sort row.
+
+    The sort runs ~at memcpy speed over its payload bytes (PROFILE.md), so
+    halving record bytes (f32 -> 16-bit) buys ~the measured 30%+ of the
+    sort, and packing two halves per word also halves the ROW count. f16
+    over bf16: these values are pure transport (never MXU inputs), so the
+    11-bit mantissa (~5e-4 relative) is free precision — conic/opacity
+    rounding error lands well under the 8-bit image quantum.
+    """
+    lo = lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
+    hi = lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
+    return (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+
+
+def unpack2_f16(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack2_f16 (values carry f16 rounding)."""
+    lo = lax.bitcast_convert_type((w & 0xFFFF).astype(jnp.uint16),
+                                  jnp.float16)
+    hi = lax.bitcast_convert_type(
+        lax.shift_right_logical(w, 16).astype(jnp.uint16), jnp.float16)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     chunk: int, n_chan: int, bits_z: int = 0,
                     quantized_depth: bool = False,
                     precision: str = "highest", power_impl: str = "vpu",
-                    scan_impl: str = "matmul_split3"):
+                    scan_impl: str = "matmul_split3",
+                    pack_records: bool = False):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
     additionally drops the f32 depth payload row and feeds the kernel the
     dequantized key depth (values ~2^-(bits_z-8) relative — gradients are
-    unchanged since d(dequant)/d(depth) ~= 1).
+    unchanged since d(dequant)/d(depth) ~= 1). pack_records transports the
+    geometry/channel rows through the sort as packed f16 pairs (i32 rows,
+    pack2_f16): x/y are made tile-relative first so f16's 11-bit mantissa
+    covers the in-tile range (~1e-4 px at 16-px tiles) and the origin is
+    restored from the sorted tile id; the vjp treats the f16 round-trip
+    as identity, like quantized depth.
     """
     cv = n_chan + 2
     cv_pad = -(-cv // 8) * 8
@@ -100,27 +130,55 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
               tile_w=tile_w, chunk=chunk, precision=precision,
               scan_impl=scan_impl)
     kw_fwd = dict(kw, power_impl=power_impl)
+    pack = pack_records and bits_z > 0
+
+    def _pack_rows(tile_key, geom, chan):
+        vals = list(geom) + list(chan)
+        tx = ((tile_key % grid_w) * tile_w).astype(jnp.float32)
+        ty = ((tile_key // grid_w) * tile_h).astype(jnp.float32)
+        vals[0] = vals[0] - tx
+        vals[1] = vals[1] - ty
+        if len(vals) % 2:
+            vals.append(jnp.zeros_like(vals[0]))
+        return tuple(pack2_f16(vals[2 * i], vals[2 * i + 1])
+                     for i in range(len(vals) // 2))
+
+    def _unpack_rows(sk, payload):
+        vals = []
+        for w_ in payload:
+            a, b = unpack2_f16(w_)
+            vals += [a, b]
+        vals = vals[:6 + n_chan]
+        stile = lax.shift_right_logical(sk, bits_z)
+        vals[0] = vals[0] + ((stile % grid_w) * tile_w).astype(jnp.float32)
+        vals[1] = vals[1] + ((stile // grid_w) * tile_h).astype(
+            jnp.float32)
+        return tuple(vals)
 
     def _prepare(tile_key, depth, pos, geom, chan, *, with_pos=True):
         """Sort + pack. with_pos=False (inference-only forward) drops the
         emission-position backpointer row from the sort — it exists solely
         for the backward's unsort, so pure renders save one payload row."""
         pos_t = (pos,) if with_pos else ()
+        rows_payload = (_pack_rows(tile_key, geom, chan) if pack
+                        else tuple(geom) + tuple(chan))
         if bits_z > 0:
             key = fuse_tile_depth_key(tile_key, depth, bits_z)
             if quantized_depth:
-                arrays = (key,) + pos_t + tuple(geom) + tuple(chan)
+                arrays = (key,) + pos_t + rows_payload
                 s = lax.sort(arrays, num_keys=1, is_stable=False)
                 sk = s[0]
                 spos = s[1] if with_pos else None
                 sd = dequantize_depth_key(sk, bits_z)
                 payload = s[1 + len(pos_t):]
             else:
-                arrays = (key, depth) + pos_t + tuple(geom) + tuple(chan)
+                arrays = (key, depth) + pos_t + rows_payload
                 s = lax.sort(arrays, num_keys=1, is_stable=False)
                 sk, sd = s[0], s[1]
                 spos = s[2] if with_pos else None
                 payload = s[2 + len(pos_t):]
+            if pack:
+                payload = _unpack_rows(sk, payload)
             bounds = jnp.searchsorted(
                 sk, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits_z),
                 side="left").astype(jnp.int32)
@@ -197,7 +255,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   fused_key: bool = True, depth_mode: str = "quantized",
                   precision: str = "highest", exact_cull: bool = True,
                   enum_cap: int = 0, power_impl: str = "vpu",
-                  scan_impl: str = "matmul_split3"
+                  scan_impl: str = "matmul_split3",
+                  pack_records: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -247,7 +306,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
     composite = _make_composite(num_tiles, grid_w, tile_h, tile_w, chunk,
                                 n_chan, bits_z,
                                 bits_z > 0 and depth_mode == "quantized",
-                                precision, power_impl, scan_impl)
+                                precision, power_impl, scan_impl,
+                                pack_records)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

@@ -31,6 +31,7 @@ class RasterSettings:
     exact_cull: bool = True
     power_impl: str = "vpu"
     scan_impl: str = "matmul_split3"
+    pack_records: bool = False
 
 
 @dataclasses.dataclass

@@ -50,7 +50,8 @@ def raster_config(cfg: TrainConfig) -> RasterConfig:
                         max_tiles_per_gaussian=r.max_tiles_per_gaussian,
                         pairs_per_gaussian=r.pairs_per_gaussian,
                         exact_cull=r.exact_cull, power_impl=r.power_impl,
-                        scan_impl=r.scan_impl)
+                        scan_impl=r.scan_impl,
+                        pack_records=r.pack_records)
 
 
 def densify_with_growth(densify_jit, params, variables, opt_state, i, sub,

@@ -174,3 +174,35 @@ def test_pallas_32_channel_feature_field():
     err = np.abs(np.asarray(gp) - np.asarray(gt_)) / \
         np.maximum(np.abs(np.asarray(gt_)), 1.0)
     assert err.max() < 1e-3, err.max()
+
+
+def test_pack_records_parity():
+    """f16-packed sort payload (pack_records=True) must match the f32
+    transport under the 8-bit image quantum, forward and gradients alike
+    (sorted_raster.pack2_f16: tile-relative x/y + packed conic/op/chan)."""
+    import dataclasses as dc
+    args = _args(n=120, seed=5)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    c0 = CFG
+    c1 = dc.replace(CFG, pack_records=True)
+    o0 = render(*args, config=c0, bg=bg, method="pallas")
+    o1 = render(*args, config=c1, bg=bg, method="pallas")
+    np.testing.assert_allclose(np.asarray(o1.rgb), np.asarray(o0.rgb),
+                               atol=3.9e-3)  # one 8-bit quantum
+    np.testing.assert_allclose(np.asarray(o1.alpha), np.asarray(o0.alpha),
+                               atol=3.9e-3)
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            out = render(args[0], m, c, o, s, q, method="pallas",
+                         config=cfg, bg=bg)
+            return jnp.mean((out.rgb - 0.3) ** 2) + 0.01 * jnp.mean(
+                out.alpha)
+        return f
+
+    g0 = jax.grad(loss(c0), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g1 = jax.grad(loss(c1), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b in zip(g0, g1):
+        na = float(np.linalg.norm(np.asarray(a).ravel()))
+        rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
+        assert rel <= max(5e-3 * na, 1e-6), (rel, na)

@@ -82,6 +82,9 @@ def main():
         "cull_mxu_c256": C(exact_cull=True, power_impl="mxu", chunk=256),
         "cull_mxu_c256b": C(exact_cull=True, power_impl="mxu", chunk=256,
                             scan_impl="matmul_block128"),
+        "cull_pack": C(exact_cull=True, pack_records=True),
+        "cull_mxu_c256_pack": C(exact_cull=True, power_impl="mxu",
+                                chunk=256, pack_records=True),
     }
     names = sys.argv[1:] or list(variants)
 
