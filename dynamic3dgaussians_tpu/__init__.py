@@ -23,3 +23,5 @@ __version__ = "0.1.0"
 from dynamic3dgaussians_tpu.ops.camera import Camera, make_camera  # noqa: F401
 from dynamic3dgaussians_tpu.ops.rasterize import render, RenderOutput  # noqa: F401
 from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig  # noqa: F401
+from dynamic3dgaussians_tpu.ops.playback import (  # noqa: F401
+    PlaybackCache, build_cache, render_playback)

@@ -152,7 +152,32 @@ def main():
             outs[ln] = pipelined_ms(lambda d: s(jnp.int32(d)))
         return outs
 
-    for pname, pfn in [("gather_800k_rows16", probe_gather),
+    def probe_playback():
+        """Cached-order playback (ops/playback.py) at the bench shape:
+        per-frame ms of a cached frame + key-frame (emission + key/pos
+        sort) ms. Amortized fps at resort-every-M = 1e3/(frame + key/M)."""
+        from dynamic3dgaussians_tpu.ops.playback import (build_cache,
+                                                         render_playback)
+        cfg = C(exact_cull=True)
+
+        @jax.jit
+        def key(s):
+            return build_cache(cam, means + s, opac, scales, quats,
+                               config=cfg)
+
+        @jax.jit
+        def frame(s, cache):
+            return render_playback(cam, means + s, colors, opac, scales,
+                                   quats, cache, config=cfg).rgb
+
+        cache = jax.block_until_ready(key(np.float32(0.0)))
+        ms_frame = pipelined_ms(lambda s: frame(s, cache))
+        ms_key = pipelined_ms(key, iters=10)
+        return {"frame_ms": round(ms_frame, 3), "key_ms": round(ms_key, 3),
+                "fps_resort8": round(1e3 / (ms_frame + ms_key / 8), 1)}
+
+    for pname, pfn in [("playback", probe_playback),
+                       ("gather_800k_rows16", probe_gather),
                        ("sort_len_scaling", probe_sort_len)]:
         out = timed(pname, pfn)
         if out is not None:
