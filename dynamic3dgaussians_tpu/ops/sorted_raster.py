@@ -105,6 +105,29 @@ def unpack2_f16(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
+def pack2_bf16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 rows -> one i32 row via bf16 halves.
+
+    Used for the backward's GRADIENT rows, whose magnitudes span the full
+    f32 exponent range (loss-scale dependent): bf16 keeps f32's range where
+    f16 would overflow past 65504, at 8 bits of mantissa — per-pair
+    rounding noise that stays ~0.4% relative through the (K, N) sum.
+    Round-to-nearest via +0x8000 on the raw bits (carry propagates into
+    the exponent exactly as bf16 RN requires; inputs are finite grads)."""
+    ab = lax.bitcast_convert_type(a, jnp.int32) + jnp.int32(0x8000)
+    bb = lax.bitcast_convert_type(b, jnp.int32) + jnp.int32(0x8000)
+    lo = lax.shift_right_logical(ab, 16)
+    hi = bb & jnp.int32(-65536)
+    return hi | lo
+
+
+def unpack2_bf16(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack2_bf16 (values carry truncation to bf16)."""
+    lo = lax.bitcast_convert_type(w << 16, jnp.float32)
+    hi = lax.bitcast_convert_type(w & jnp.int32(-65536), jnp.float32)
+    return lo, hi
+
+
 @functools.lru_cache(maxsize=None)
 def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     chunk: int, n_chan: int, bits_z: int = 0,
@@ -233,10 +256,29 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         d_rows += [jnp.where(live, d_out[GEOM_ROWS + n_chan, :ne], z)]  # depth
         d_rows += [jnp.where(live, d_out[GEOM_ROWS + c, :ne], z)
                    for c in range(n_chan)]
-        un = lax.sort((spos,) + tuple(d_rows), num_keys=1, is_stable=False)
-        d_geom = tuple(un[1:7])
-        d_depth = un[7]
-        d_chan = tuple(un[8:])
+        if pack:
+            # gradient rows ride the unsort as packed bf16 pairs (range-
+            # safe; see pack2_bf16) — halves the second sort's payload too
+            src = list(d_rows)
+            if len(src) % 2:
+                src.append(jnp.zeros_like(src[0]))
+            pk = tuple(pack2_bf16(src[2 * i], src[2 * i + 1])
+                       for i in range(len(src) // 2))
+            un = lax.sort((spos,) + pk, num_keys=1, is_stable=False)
+            vals = []
+            for w_ in un[1:]:
+                a, b = unpack2_bf16(w_)
+                vals += [a, b]
+            vals = vals[:7 + n_chan]
+            d_geom = tuple(vals[0:6])
+            d_depth = vals[6]
+            d_chan = tuple(vals[7:])
+        else:
+            un = lax.sort((spos,) + tuple(d_rows), num_keys=1,
+                          is_stable=False)
+            d_geom = tuple(un[1:7])
+            d_depth = un[7]
+            d_chan = tuple(un[8:])
         return (_float0(spos), d_depth, _float0(spos), d_geom, d_chan)
 
     composite.defvjp(composite_fwd, composite_bwd)
