@@ -199,7 +199,10 @@ def main():
                         axis=-1)
     params, variables = G.init_params(pt, w2c[None], capacity=cap)
     tcfg = TrainConfig(capacity=cap, raster=RasterSettings(
-        tile_h=16, tile_w=16, chunk=128, max_tiles_per_gaussian=4))
+        tile_h=16, tile_w=16, chunk=128, max_tiles_per_gaussian=4,
+        pack_records=True))  # 16-bit sort transport (validated: identical
+    # PSNR trajectory vs f32 on the synthetic fit; parity tests in
+    # tests/test_pallas.py::test_pack_records_parity)
     step = make_train_step(tcfg, raster_config(tcfg))
     opt_state = optim.init(params)
     lrs = {k: jnp.float32(1e-4) for k in params}

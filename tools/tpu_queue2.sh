@@ -16,7 +16,7 @@ done
 sleep 30
 echo "== scale run (config 2) =="
 timeout -k 60 9000 python -u tools/scale_run.py \
-    --iters 10000 --gt_mult 8 --report 100 \
+    --iters 10000 --gt_mult 8 --cams 27 --report 100 \
     --out artifacts/scale_run_tpu.json 2>&1 | grep -v WARNING \
     | tee artifacts/scale_run_tpu.txt
 echo "== dynamic run (config 3) =="
