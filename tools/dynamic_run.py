@@ -68,7 +68,8 @@ def main():
         densify_end=min(args.iters0, 5000),
         grow_capacity=True, report_every=100,
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
-                              max_tiles_per_gaussian=args.k_cap))
+                              max_tiles_per_gaussian=args.k_cap,
+                              pack_records=True))
 
     log = {"backend": backend, "n_init": args.n, "hw": hw,
            "cams": args.cams, "timesteps": args.timesteps,

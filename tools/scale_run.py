@@ -81,7 +81,8 @@ def main():
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
                               max_tiles_per_gaussian=args.k_cap,
                               pairs_per_gaussian=args.k_cap,
-                              max_per_tile=args.max_per_tile))
+                              max_per_tile=args.max_per_tile,
+                              pack_records=True))
     rcfg = raster_config(cfg)
     params, variables = G.init_params(pt, w2c,
                                       capacity=cfg.capacity)
