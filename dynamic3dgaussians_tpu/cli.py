@@ -163,8 +163,12 @@ def cmd_visualize(args):
     from dynamic3dgaussians_tpu.viz.render import orbit_render, save_gif
 
     stacked = load_params(args.params)
-    frames = orbit_render(stacked, n_frames=args.frames, w=args.width,
-                          h=args.height, f=args.focal, radius=args.radius)
+    import jax
+    frames = orbit_render(
+        stacked, n_frames=args.frames, w=args.width, h=args.height,
+        f=args.focal, radius=args.radius,
+        method="pallas" if jax.default_backend() == "tpu" else "tiled",
+        resort_every=args.resort_every)
     out = args.out or (os.path.splitext(args.params)[0] + "_orbit.gif")
     save_gif(frames, out, fps=args.fps)
     print(f"saved {out}")
@@ -272,6 +276,9 @@ def main(argv=None):
     p.add_argument("--focal", type=float, default=500.0)
     p.add_argument("--radius", type=float, default=4.0)
     p.add_argument("--fps", type=int, default=20)
+    p.add_argument("--resort-every", type=int, default=1,
+                   help="cached-order playback interval (>1 = fast "
+                        "visualizer-loop path, ops/playback.py)")
     p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("view", help="interactive browser viewer "

@@ -77,16 +77,45 @@ def orbit_render(stacked: Dict[str, np.ndarray], n_frames: int = 60,
                  w: int = 640, h: int = 360, f: float = 500.0,
                  radius: float = 4.0, height: float = -1.0,
                  timestep_per_frame: bool = True,
-                 config: Optional[RasterConfig] = None) -> List[np.ndarray]:
+                 config: Optional[RasterConfig] = None,
+                 method: str = "tiled",
+                 resort_every: int = 1) -> List[np.ndarray]:
     """360-degree orbit of the scene; cycles timesteps if available
-    (visualize.py:238-377 style). Returns uint8 RGB frames."""
+    (visualize.py:238-377 style). Returns uint8 RGB frames.
+
+    resort_every > 1 renders through the cached-order playback path
+    (ops/playback.py): key frames re-derive the sort, in-between frames
+    gather fresh records through the frozen order — the fps mode for the
+    reference's visualizer-loop use case. Values stay current every frame;
+    only depth order/tile membership lag by < resort_every orbit steps.
+    Scale the interval with frame density: staleness error tracks image
+    motion per key-frame interval, so a high-fps interactive loop
+    (<1 deg/frame) tolerates resort_every=8+, while a coarse 30-60-frame
+    GIF orbit should stay at 1-2 (tests/test_playback.py calibration).
+    """
     num_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
     center = np.asarray(stacked["means3D"]).reshape(-1, 3).mean(0)
     cams = orbit_cameras(center, radius, height, n_frames, w, h, f)
     frames = []
+    cache = None
     for i, cam in enumerate(cams):
         t = (i % num_t) if timestep_per_frame else 0
-        out = render_frame(params_at_t(stacked, t), cam, config=config)
+        pt = params_at_t(stacked, t)
+        if resort_every > 1:
+            from dynamic3dgaussians_tpu.ops.playback import (build_cache,
+                                                             render_playback)
+            p = {k: jnp.asarray(v) for k, v in pt.items()}
+            act = activated(p)
+            if i % resort_every == 0:
+                cache = build_cache(cam, act["means3d"], act["opacity"],
+                                    act["scales"], act["rotations"],
+                                    config=config)
+            out = render_playback(cam, act["means3d"], act["colors"],
+                                  act["opacity"], act["scales"],
+                                  act["rotations"], cache, config=config,
+                                  extra_channels=p.get("seg_colors"))
+        else:
+            out = render_frame(pt, cam, config=config, method=method)
         frames.append(to_uint8(out.rgb))
     return frames
 

@@ -74,3 +74,32 @@ def test_playback_jits_and_extra_channels():
     pb = render_playback(cam, *a, cache, config=CFG, extra_channels=seg)
     np.testing.assert_allclose(np.asarray(pb.extra),
                                np.asarray(exact.extra), atol=3.9e-3)
+
+
+def test_orbit_render_resort_every():
+    """orbit_render's playback mode (resort_every>1) must stay visually
+    indistinguishable from the exact per-frame path on a smooth orbit."""
+    from dynamic3dgaussians_tpu.viz.render import orbit_render
+    rng = np.random.RandomState(0)
+    n = 150
+    stacked = {
+        "means3D": rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        "rgb_colors": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "unnorm_rotations": rng.normal(size=(n, 4)).astype(np.float32),
+        "logit_opacities": rng.uniform(0, 2, (n, 1)).astype(np.float32),
+        "log_scales": np.log(rng.uniform(0.03, 0.1, (n, 3))
+                             ).astype(np.float32),
+    }
+    # staleness error scales with image motion per key-frame interval: a
+    # 48-frame full orbit at resort_every=2 (7.5 deg/frame — far coarser
+    # than any high-fps interactive loop) must stay at/above the visual
+    # threshold. Calibrated: min 39.9 dB, mean 59.6 dB on this scene.
+    kw = dict(n_frames=48, w=64, h=48, f=55.0, radius=3.0, config=CFG)
+    exact = orbit_render(stacked, method="pallas", **kw)
+    fast = orbit_render(stacked, method="pallas", resort_every=2, **kw)
+    ps = []
+    for a, b in zip(exact, fast):
+        mse = float(np.mean((a.astype(np.float64) - b) ** 2))
+        ps.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-12)))
+    assert min(ps) > 35.0 and float(np.mean(ps)) > 50.0, (min(ps),
+                                                          np.mean(ps))
