@@ -176,7 +176,29 @@ def main():
         return {"frame_ms": round(ms_frame, 3), "key_ms": round(ms_key, 3),
                 "fps_resort8": round(1e3 / (ms_frame + ms_key / 8), 1)}
 
+    def probe_batch4():
+        """vmap the exact render over 4 cameras: one XLA program overlaps
+        frame A's kernel with frame B's sort. Per-frame ms."""
+        cfg = C(exact_cull=True)
+        cams = []
+        for i in range(4):
+            wc = np.eye(4, dtype=np.float32)
+            wc[2, 3] = 6.0
+            wc[0, 3] = 0.02 * i
+            cams.append(make_camera(
+                w, h, [[500, 0, w / 2], [0, 500, h / 2], [0, 0, 1]], wc))
+        bc = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+        @jax.jit
+        def fb(s):
+            return jax.vmap(lambda c: render(
+                c, means + s, colors, opac, scales, quats, config=cfg,
+                method="pallas").rgb)(bc)
+
+        return pipelined_ms(fb, iters=15) / 4.0
+
     for pname, pfn in [("playback", probe_playback),
+                       ("batch4_per_frame_ms", probe_batch4),
                        ("gather_800k_rows16", probe_gather),
                        ("sort_len_scaling", probe_sort_len)]:
         out = timed(pname, pfn)
