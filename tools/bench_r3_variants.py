@@ -85,6 +85,10 @@ def main():
         "cull_pack": C(exact_cull=True, pack_records=True),
         "cull_mxu_c256_pack": C(exact_cull=True, power_impl="mxu",
                                 chunk=256, pack_records=True),
+        "cull_pack_k2": C(exact_cull=True, pack_records=True,
+                          max_tiles_per_gaussian=2),
+        "cull_mxu_pack_k2": C(exact_cull=True, power_impl="mxu",
+                              pack_records=True, max_tiles_per_gaussian=2),
     }
     names = sys.argv[1:] or list(variants)
 
