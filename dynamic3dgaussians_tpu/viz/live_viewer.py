@@ -65,7 +65,9 @@ class CheckpointSource:
     """Renders frames from a stacked params.npz dict (reference layout)."""
 
     def __init__(self, stacked: Dict[str, np.ndarray],
-                 config: Optional[RasterConfig] = None):
+                 config: Optional[RasterConfig] = None,
+                 use_playback: Optional[bool] = None,
+                 resort_every: int = 8):
         self.stacked = dict(stacked)
         self.config = config
         m = np.asarray(stacked["means3D"]).reshape(-1, 3)
@@ -74,6 +76,14 @@ class CheckpointSource:
             np.linalg.norm(m - self.center, axis=-1), 90))
         self.num_t = (stacked["means3D"].shape[0]
                       if np.asarray(stacked["means3D"]).ndim == 3 else 1)
+        # cached-order playback (ops/playback.py) between sort refreshes:
+        # the interactive loop's camera deltas are tiny frame-to-frame, so
+        # the frozen order stays visually exact; refreshed every
+        # `resort_every` frames OR when the camera jumps. None = auto
+        # (pallas path on TPU only).
+        self.use_playback = use_playback
+        self.resort_every = resort_every
+        self._pb: Dict[int, Dict] = {}
 
     def meta(self) -> Dict:
         return {"num_timesteps": int(self.num_t),
@@ -92,7 +102,13 @@ class CheckpointSource:
         if mode == "centers":
             img = self._centers_image(pt, cam)
         else:
-            out = render_frame(pt, cam, config=self.config)
+            import jax
+            pb = (self.use_playback if self.use_playback is not None
+                  else jax.default_backend() == "tpu")
+            if pb and self.resort_every > 1:
+                out = self._playback_frame(pt, cam, t)
+            else:
+                out = render_frame(pt, cam, config=self.config)
             if mode == "depth":
                 img = colormap_depth(np.asarray(out.depth),
                                      np.asarray(out.alpha))
@@ -105,6 +121,33 @@ class CheckpointSource:
             if len(segs):
                 img = draw_lines(img, segs, cam, color=(255, 40, 40))
         return img
+
+    def _playback_frame(self, pt: Dict, cam: Camera, t: int):
+        """Render through a per-timestep cached sort order, refreshing on
+        age or camera jumps (> 5% of the scene radius)."""
+        import jax.numpy as jnp
+
+        from dynamic3dgaussians_tpu.models.gaussians import activated
+        from dynamic3dgaussians_tpu.ops.playback import (build_cache,
+                                                         render_playback)
+        p = {k: jnp.asarray(v) for k, v in pt.items()}
+        act = activated(p)
+        ent = self._pb.get(t)
+        cam_c = np.asarray(cam.cam_center)
+        if (ent is None or ent["age"] >= self.resort_every
+                or np.linalg.norm(cam_c - ent["center"])
+                > 0.05 * self.radius):
+            cache = build_cache(cam, act["means3d"], act["opacity"],
+                                act["scales"], act["rotations"],
+                                config=self.config)
+            ent = {"cache": cache, "center": cam_c, "age": 0}
+            self._pb[t] = ent
+        ent["age"] += 1
+        return render_playback(cam, act["means3d"], act["colors"],
+                               act["opacity"], act["scales"],
+                               act["rotations"], ent["cache"],
+                               config=self.config,
+                               extra_channels=p.get("seg_colors"))
 
     def _centers_image(self, pt: Dict, cam: Camera) -> np.ndarray:
         """Point-splat view of gaussian centers (visualize_org.py mode)."""

@@ -103,3 +103,33 @@ def test_orbit_render_resort_every():
         ps.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-12)))
     assert min(ps) > 35.0 and float(np.mean(ps)) > 50.0, (min(ps),
                                                           np.mean(ps))
+
+
+def test_live_viewer_playback_source():
+    """CheckpointSource with use_playback=True must serve frames matching
+    the exact path and refresh its cache on camera jumps."""
+    from dynamic3dgaussians_tpu.viz.live_viewer import (CheckpointSource,
+                                                        orbit_camera)
+    rng = np.random.RandomState(1)
+    n = 120
+    stacked = {
+        "means3D": rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        "rgb_colors": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "unnorm_rotations": rng.normal(size=(n, 4)).astype(np.float32),
+        "logit_opacities": rng.uniform(0, 2, (n, 1)).astype(np.float32),
+        "log_scales": np.log(rng.uniform(0.03, 0.1, (n, 3))
+                             ).astype(np.float32),
+    }
+    exact_src = CheckpointSource(stacked, config=CFG, use_playback=False)
+    pb_src = CheckpointSource(stacked, config=CFG, use_playback=True,
+                              resort_every=4)
+    center = stacked["means3D"].mean(0)
+    for i, az in enumerate([0.0, 0.02, 0.04, 3.0]):  # last = camera jump
+        cam = orbit_camera(center, az, 0.3, 3.0, 64, 48, 55.0)
+        a = exact_src.frame(cam, 0, "color", False)
+        b = pb_src.frame(cam, 0, "color", False)
+        mse = float(np.mean((a.astype(np.float64) - b) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr > 38.0, (i, psnr)
+    # the 3.0-rad jump must have forced a cache rebuild (age reset to 1)
+    assert pb_src._pb[0]["age"] == 1
