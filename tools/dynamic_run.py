@@ -76,6 +76,15 @@ def main():
            "iters0": args.iters0, "iters": args.iters,
            "t_data_s": round(t_data, 1), "steps": [], "per_timestep": []}
     t_state = {"t": -1, "start": time.time()}
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", f"dynamic_run_{backend}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    def flush():
+        # incremental: a mid-run tunnel death must not lose the evidence
+        with open(out, "w") as f:
+            json.dump(log, f, indent=1)
 
     def on_step(t, i, metrics):
         log["steps"].append({"t": t, "i": i,
@@ -96,19 +105,14 @@ def main():
             "final_psnr": last[-1] if last else None})
         print(f"== timestep {t}: {dt:.1f}s ({iters / dt:.1f} it/s), "
               f"alive={n_alive}", flush=True)
+        flush()
 
     out_params = train(dataset, cfg, pt, w2c,
                        callbacks={"on_step": on_step,
                                   "on_timestep": on_timestep})
     log["t_total_s"] = round(time.time() - t0, 1)
     log["final_alive"] = log["per_timestep"][-1]["n_alive"]
-
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", f"dynamic_run_{backend}.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(log, f, indent=1)
+    flush()
     tail = [p["final_psnr"] for p in log["per_timestep"]]
     print(f"wrote {out}; per-timestep psnr {tail}")
 

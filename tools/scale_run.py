@@ -100,6 +100,15 @@ def main():
            "psnr": [], "densify": [], "grow_tiles": [], "n_dropped": 0,
            "n_dropped_rect": 0}
     t_train = time.time()
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", f"scale_run_{backend}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    def flush():
+        # incremental: a mid-run tunnel death must not lose the evidence
+        with open(out, "w") as f:
+            json.dump(log, f, indent=1)
     todo = []
     for i in range(args.iters):
         if not todo:
@@ -150,17 +159,14 @@ def main():
                       flush=True)
             print(f"iter {i}: psnr {p:.2f} alive "
                   f"{int(jnp.sum(variables['alive']))}", flush=True)
+            log["t_train_s"] = round(time.time() - t_train, 1)
+            flush()
     log["t_train_s"] = round(time.time() - t_train, 1)
     log["it_per_s"] = round(args.iters / log["t_train_s"], 2)
 
     first, last = log["psnr"][0]["psnr"], log["psnr"][-1]["psnr"]
     log["psnr_gain_db"] = round(last - first, 3)
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", f"scale_run_{backend}.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(log, f, indent=1)
+    flush()
     print(f"wrote {out}: psnr {first:.2f} -> {last:.2f} "
           f"({log['it_per_s']} it/s, dropped={log['n_dropped']})")
     if last - first < args.min_gain_db:
