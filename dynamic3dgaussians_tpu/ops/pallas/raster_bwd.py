@@ -58,7 +58,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dynamic3dgaussians_tpu.ops.compositing import ALPHA_EPS, ALPHA_MAX
 from dynamic3dgaussians_tpu.ops.pallas.raster_fwd import (
-    GEOM_ROWS, LN2, PRECISIONS, lane_inclusive_scan, tile_pixel_coords)
+    GEOM_ROWS, LN2, PRECISIONS, chunk_power_mxu, lane_inclusive_scan,
+    tile_pixel_coords, tile_pixel_feats)
+
+
+def _power_moments(d_power, feats16):
+    """(8, G) moments M = F^T @ d_power via 3 bf16 MXU rounds.
+
+    Row layout follows tile_pixel_feats' F = [1, rx, ry, rx^2, rx*ry,
+    ry^2, 0, 0] (tile-relative integer pixel coords — exact in bf16):
+    M[0] = sum_p d_power, M[1] = sum d_power*rx, M[2] = *ry, M[3] = *rx^2,
+    M[4] = *rx*ry, M[5] = *ry^2. Every per-pair conic/position gradient
+    row is then an O(G) polynomial in these moments (the P-sized
+    reductions leave the VPU entirely)."""
+    a1 = d_power.astype(jnp.bfloat16)
+    r1 = d_power - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bdot(x):
+        return jax.lax.dot_general(
+            feats16, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return (bdot(a3) + bdot(a2)) + bdot(a1)
 
 
 def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
@@ -66,7 +88,7 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
                 rec_vmem, dout_scr, old_scr,
                 in_sems, out_sems, rmw_sem,
                 *, chunk, tile_h, tile_w, grid_w, n_val, mxu_prec,
-                interpret, scan_impl):
+                interpret, scan_impl, power_impl):
     i = pl.program_id(0)
     start = starts_ref[i]
     count = counts_ref[i]
@@ -79,6 +101,11 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
     n_chunks = jnp.where(count == 0, 0,
                          (shift + count + chunk - 1) // chunk)
     px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
+    if power_impl == "mxu":
+        p_pix = tile_h * tile_w
+        tile_ox = (i % grid_w).astype(jnp.float32) * tile_w
+        tile_oy = (i // grid_w).astype(jnp.float32) * tile_h
+        feats16 = tile_pixel_feats(px, py, tile_ox, tile_oy, p_pix)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     n_out = GEOM_ROWS + n_val
@@ -132,9 +159,12 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
             x, y = g[0:1, :], g[1:2, :]
             ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
             op = g[5:6, :]
-            dx = x - px
-            dy = y - py
-            p0 = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            if power_impl == "mxu":
+                p0 = chunk_power_mxu(g, feats16, tile_ox, tile_oy)
+            else:
+                dx = x - px
+                dy = y - py
+                p0 = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             power = jnp.minimum(p0, 0.0)
             e = jnp.exp2(power)           # conic rows pre-scaled by log2(e)
             raw = op * e
@@ -170,16 +200,37 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
             def _():
                 out_dma(oslot, k + 2).wait()
 
-            dout_scr[oslot, 0:1] = jnp.sum(
-                d_power * -(ca * dx + cb * dy), 0, keepdims=True)
-            dout_scr[oslot, 1:2] = jnp.sum(
-                d_power * -(cc * dy + cb * dx), 0, keepdims=True)
-            dout_scr[oslot, 2:3] = jnp.sum(
-                d_power * (-0.5 * dx * dx), 0, keepdims=True)
-            dout_scr[oslot, 3:4] = jnp.sum(
-                d_power * (-dx * dy), 0, keepdims=True)
-            dout_scr[oslot, 4:5] = jnp.sum(
-                d_power * (-0.5 * dy * dy), 0, keepdims=True)
+            if power_impl == "mxu":
+                # six P-sized gradient reductions as ONE moment matmul
+                # (see _power_moments) + an O(G) polynomial epilogue in
+                # the tile-relative gaussian center (gx, gy): with
+                # dx = gx - rx, sum d_power*dx = gx*M0 - Mx, etc.
+                mom = _power_moments(d_power, feats16)        # (8, G)
+                m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
+                mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+                gx = x - tile_ox
+                gy = y - tile_oy
+                sdx = gx * m0 - mx_               # sum_p d_power * dx
+                sdy = gy * m0 - my_
+                dout_scr[oslot, 0:1] = -(ca * sdx + cb * sdy)
+                dout_scr[oslot, 1:2] = -(cc * sdy + cb * sdx)
+                dout_scr[oslot, 2:3] = -0.5 * (gx * gx * m0
+                                               - 2.0 * gx * mx_ + mxx)
+                dout_scr[oslot, 3:4] = -(gx * gy * m0 - gx * my_
+                                         - gy * mx_ + mxy)
+                dout_scr[oslot, 4:5] = -0.5 * (gy * gy * m0
+                                               - 2.0 * gy * my_ + myy)
+            else:
+                dout_scr[oslot, 0:1] = jnp.sum(
+                    d_power * -(ca * dx + cb * dy), 0, keepdims=True)
+                dout_scr[oslot, 1:2] = jnp.sum(
+                    d_power * -(cc * dy + cb * dx), 0, keepdims=True)
+                dout_scr[oslot, 2:3] = jnp.sum(
+                    d_power * (-0.5 * dx * dx), 0, keepdims=True)
+                dout_scr[oslot, 3:4] = jnp.sum(
+                    d_power * (-dx * dy), 0, keepdims=True)
+                dout_scr[oslot, 4:5] = jnp.sum(
+                    d_power * (-0.5 * dy * dy), 0, keepdims=True)
             dout_scr[oslot, 5:6] = jnp.sum(d_raw * e, 0, keepdims=True)
             dout_scr[oslot, 6:GEOM_ROWS] = jnp.zeros(
                 (GEOM_ROWS - 6, chunk), jnp.float32)
@@ -216,7 +267,7 @@ def _bwd_kernel(starts_ref, counts_ref, nact_ref, rec_hbm,
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
                                              "tile_w", "chunk", "precision",
-                                             "scan_impl"))
+                                             "scan_impl", "power_impl"))
 def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
                                tile_starts: jnp.ndarray,
                                tile_counts: jnp.ndarray,
@@ -225,7 +276,8 @@ def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
                                d_raw: jnp.ndarray, *, num_tiles: int,
                                grid_w: int, tile_h: int, tile_w: int,
                                chunk: int = 128, precision: str = "highest",
-                               scan_impl: str = "matmul_split3"):
+                               scan_impl: str = "matmul_split3",
+                               power_impl: str = "vpu"):
     """Run the backward tile kernel.
 
     Args:
@@ -249,7 +301,8 @@ def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
     kernel = functools.partial(_bwd_kernel, chunk=chunk, tile_h=tile_h,
                                tile_w=tile_w, grid_w=grid_w, n_val=n_val,
                                mxu_prec=PRECISIONS[precision],
-                               interpret=interpret, scan_impl=scan_impl)
+                               interpret=interpret, scan_impl=scan_impl,
+                               power_impl=power_impl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),

@@ -181,9 +181,8 @@ def tile_pixel_feats(px, py, tile_ox, tile_oy, p):
     return feats.astype(jnp.bfloat16)
 
 
-def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
-                          chunk):
-    """MXU variant of chunk_alpha_masked: power as a bilinear form.
+def chunk_power_mxu(g, feats16, tile_ox, tile_oy):
+    """Raw power p0 as a bilinear form on the MXU.
 
     power0(p, g) = F(p) . C(g) with F = [1, x, y, x^2, xy, y^2] in
     tile-relative pixel coordinates and C derived per chunk from the
@@ -194,7 +193,6 @@ def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
     gx = g[0:1, :] - tile_ox                   # (1, G) tile-relative center
     gy = g[1:2, :] - tile_oy
     ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
-    op = g[5:6, :]
     coef = jnp.concatenate([
         -0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy,
         ca * gx + cb * gy,
@@ -212,7 +210,14 @@ def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
         return jax.lax.dot_general(
             feats16, c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    p0 = (bdot(c3) + bdot(c2)) + bdot(c1)      # (P, G)
+    return (bdot(c3) + bdot(c2)) + bdot(c1)    # (P, G)
+
+
+def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
+                          chunk):
+    """MXU variant of chunk_alpha_masked: power via chunk_power_mxu."""
+    op = g[5:6, :]
+    p0 = chunk_power_mxu(g, feats16, tile_ox, tile_oy)
     power = jnp.minimum(p0, 0.0)
     alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp2(power))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)

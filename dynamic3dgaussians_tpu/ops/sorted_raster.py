@@ -151,8 +151,8 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     cv_pad = -(-cv // 8) * 8
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
               tile_w=tile_w, chunk=chunk, precision=precision,
-              scan_impl=scan_impl)
-    kw_fwd = dict(kw, power_impl=power_impl)
+              scan_impl=scan_impl, power_impl=power_impl)
+    kw_fwd = kw
     pack = pack_records and bits_z > 0
 
     def _pack_rows(tile_key, geom, chan):

@@ -206,3 +206,29 @@ def test_pack_records_parity():
         na = float(np.linalg.norm(np.asarray(a).ravel()))
         rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
         assert rel <= max(5e-3 * na, 1e-6), (rel, na)
+
+
+def test_bwd_mxu_power_moments_grads_match():
+    """Backward kernel power_impl="mxu": the bilinear-form power recompute
+    + the moment-matmul gradient reductions (raster_bwd._power_moments)
+    must match the VPU backward to MXU-split precision (~1e-5 rel)."""
+    import dataclasses as dc
+    args = _args(n=150, seed=7)
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            out = render(args[0], m, c, o, s, q, method="pallas",
+                         config=cfg)
+            return (jnp.mean((out.rgb - 0.3) ** 2)
+                    + 0.02 * jnp.mean(out.depth)
+                    + 0.01 * jnp.mean(out.alpha))
+        return f
+
+    g0 = jax.grad(loss(dc.replace(CFG, power_impl="vpu")),
+                  argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g1 = jax.grad(loss(dc.replace(CFG, power_impl="mxu")),
+                  argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b in zip(g0, g1):
+        na = float(np.linalg.norm(np.asarray(a).ravel()))
+        rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
+        assert rel <= max(1e-3 * na, 1e-7), (rel, na)
