@@ -201,8 +201,46 @@ def main():
 
         return pipelined_ms(fb, iters=15) / 4.0
 
+    def probe_train(power):
+        """Full train step (render fwd+bwd + im/seg losses + Adam) at the
+        bench shape with packed transport; decides bench.py's train
+        config (vpu vs mxu backward)."""
+        from dynamic3dgaussians_tpu.models import gaussians as G
+        from dynamic3dgaussians_tpu.train import optim
+        from dynamic3dgaussians_tpu.train.config import (RasterSettings,
+                                                         TrainConfig)
+        from dynamic3dgaussians_tpu.train.trainer import (make_train_step,
+                                                          raster_config)
+        cap = G.round_capacity(n)
+        w2c0 = np.eye(4, dtype=np.float32)
+        w2c0[2, 3] = 6.0
+        pt = np.concatenate(
+            [np.asarray(means), np.asarray(colors),
+             (rng.uniform(size=(n, 1)) < 0.5).astype(np.float32)], axis=-1)
+        params, variables = G.init_params(pt, w2c0[None], capacity=cap)
+        tcfg = TrainConfig(capacity=cap, raster=RasterSettings(
+            tile_h=16, tile_w=16, chunk=128, max_tiles_per_gaussian=4,
+            pack_records=True, power_impl=power))
+        step = make_train_step(tcfg, raster_config(tcfg))
+        opt_state = optim.init(params)
+        lrs = {k: jnp.float32(1e-4) for k in params}
+        gt = {"camera": cam,
+              "im": jnp.asarray(rng.uniform(0, 1, (h, w, 3)), np.float32),
+              "seg": jnp.asarray(rng.uniform(0, 1, (h, w, 3)), np.float32),
+              "cam_id": jnp.int32(0)}
+
+        def call(s):
+            p = dict(params)
+            p["means3D"] = p["means3D"] + s
+            _, _, _, m = step(p, opt_state, variables, gt, lrs, True)
+            return m["loss"]
+
+        return pipelined_ms(call, iters=20)
+
     for pname, pfn in [("playback", probe_playback),
                        ("batch4_per_frame_ms", probe_batch4),
+                       ("train_pack_vpu_ms", lambda: probe_train("vpu")),
+                       ("train_pack_mxu_ms", lambda: probe_train("mxu")),
                        ("gather_800k_rows16", probe_gather),
                        ("sort_len_scaling", probe_sort_len)]:
         out = timed(pname, pfn)
