@@ -125,9 +125,28 @@ def emit_pairs(proj: Projected, tile_h: int, tile_w: int,
 
     pass_count = jnp.sum(ok_cell.astype(jnp.int32), axis=0)
     # Conservative drop count: passing cells beyond the K slots, plus rect
-    # cells past the enum window (untested — assume they would pass).
+    # cells past the enum window (untested). For the untested cells, use
+    # the alpha-REACH bound instead of assuming they would all pass: a cell
+    # passes only if its box is within dmax = sqrt(2 ln(op/eps)/lam_min)
+    # of the center, so at most `passable` (the rect cells intersecting the
+    # dmax square) can pass in total. Without this, a single huge dim splat
+    # (rect >> enum window, alpha-culled everywhere) reports thousands of
+    # phantom drops and drives the trainers' K escalation into spurious
+    # recompiles (still >= the true drop count: disk subset of square, and
+    # the per-axis tile ranges over-cover the box-intersection test).
+    safe_op = jnp.maximum(opacity, ALPHA_EPS)
+    dmax = jnp.sqrt(2.0 * jnp.log(safe_op / (ALPHA_EPS * 0.999))
+                    / jnp.maximum(lam_min, 1e-12))
+    dmax = jnp.minimum(dmax, jnp.float32(
+        (grid_w + 1) * tile_w + (grid_h + 1) * tile_h))
+    nx = (jnp.floor((proj.x2d + dmax) / tile_w)
+          - jnp.floor((proj.x2d - dmax) / tile_w) + 1.0)
+    ny = (jnp.floor((proj.y2d + dmax) / tile_h)
+          - jnp.floor((proj.y2d - dmax) / tile_h) + 1.0)
+    passable = (nx * ny).astype(jnp.int32)
+    beyond = jnp.minimum(jnp.maximum(raw_count - enum_cap, 0), passable)
     n_dropped_rect = (jnp.sum(jnp.maximum(pass_count - k_cap, 0))
-                      + jnp.sum(jnp.maximum(raw_count - enum_cap, 0)))
+                      + jnp.sum(beyond))
     return (tile_key.reshape(-1), gid.reshape(-1),
             n_dropped_rect.astype(jnp.int32))
 

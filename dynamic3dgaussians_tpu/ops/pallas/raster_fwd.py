@@ -342,6 +342,10 @@ def pallas_composite_tiles(rec_t: jnp.ndarray,
     """
     p = tile_h * tile_w
     assert p % 8 == 0, "pallas path needs tile_h*tile_w % 8 == 0"
+    if power_impl == "mxu" and max(tile_h, tile_w) > 16:
+        # tile_pixel_feats' bf16-exactness (rx*ry <= 225) breaks past
+        # 16-px tiles; fail loudly instead of silently degrading alpha
+        raise ValueError("power_impl='mxu' requires tile_h, tile_w <= 16")
     n_rows = rec_t.shape[0]
     n_val = n_rows - GEOM_ROWS
     assert n_val % 8 == 0, "pad vals channels to a multiple of 8"

@@ -152,7 +152,6 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
               tile_w=tile_w, chunk=chunk, precision=precision,
               scan_impl=scan_impl, power_impl=power_impl)
-    kw_fwd = kw
     pack = pack_records and bits_z > 0
 
     def _pack_rows(tile_key, geom, chan):
@@ -231,14 +230,14 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         rec_t, _, starts, counts = _prepare(
             tile_key, depth, pos, geom, chan, with_pos=False)
         raw, _, _ = pallas_composite_tiles(rec_t, starts, counts,
-                                           **kw_fwd)
+                                           **kw)
         return raw
 
     def composite_fwd(tile_key, depth, pos, geom, chan):
         rec_t, spos, starts, counts = _prepare(tile_key, depth, pos,
                                                geom, chan)
         raw, log_t, n_active = pallas_composite_tiles(rec_t, starts,
-                                                      counts, **kw_fwd)
+                                                      counts, **kw)
         return raw, (rec_t, spos, starts, counts, log_t, n_active)
 
     def composite_bwd(res, d_raw):

@@ -382,8 +382,9 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                         and cfg.raster.max_tiles_per_gaussian < 64):
                     import dataclasses as _dc
                     new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
-                    cfg.raster = _dc.replace(
-                        cfg.raster, max_tiles_per_gaussian=new_k)
+                    # non-destructive: never mutate the caller's TrainConfig
+                    cfg = _dc.replace(cfg, raster=_dc.replace(
+                        cfg.raster, max_tiles_per_gaussian=new_k))
                     rcfg = raster_config(cfg)
                     train_step = make_train_step(cfg, rcfg)
                     if "on_grow_tiles" in callbacks:

@@ -98,6 +98,8 @@ def orbit_render(stacked: Dict[str, np.ndarray], n_frames: int = 60,
     cams = orbit_cameras(center, radius, height, n_frames, w, h, f)
     frames = []
     cache = None
+    cache_t = None
+    since_sort = 0
     for i, cam in enumerate(cams):
         t = (i % num_t) if timestep_per_frame else 0
         pt = params_at_t(stacked, t)
@@ -106,10 +108,17 @@ def orbit_render(stacked: Dict[str, np.ndarray], n_frames: int = 60,
                                                              render_playback)
             p = {k: jnp.asarray(v) for k, v in pt.items()}
             act = activated(p)
-            if i % resort_every == 0:
+            # the frozen order is only valid for SMALL camera deltas of the
+            # SAME timestep: scene motion between timesteps is unbounded,
+            # so a timestep change always re-sorts (an orbit that cycles
+            # timesteps every frame gets no caching — correctly so)
+            if cache is None or t != cache_t or since_sort >= resort_every:
                 cache = build_cache(cam, act["means3d"], act["opacity"],
                                     act["scales"], act["rotations"],
                                     config=config)
+                cache_t = t
+                since_sort = 0
+            since_sort += 1
             out = render_playback(cam, act["means3d"], act["colors"],
                                   act["opacity"], act["scales"],
                                   act["rotations"], cache, config=config,

@@ -2,6 +2,7 @@
 # Wait for the variants process to finish, then run the compiled-kernel
 # golden gate (it failed earlier on a transient backend outage).
 set -x
+set -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 while kill -0 "$1" 2>/dev/null; do sleep 30; done
