@@ -190,56 +190,39 @@ def cmd_view(args):
 
 
 def cmd_evaluate(args):
-    import jax.numpy as jnp
-
-    from dynamic3dgaussians_tpu.data import dataset as D
-    from dynamic3dgaussians_tpu.eval import metrics as M
+    from dynamic3dgaussians_tpu.eval.suite import evaluate_sequence
     from dynamic3dgaussians_tpu.viz.export import load_params
-    from dynamic3dgaussians_tpu.viz.render import params_at_t, render_frame
 
     stacked = load_params(args.params)
-    md = D.load_meta(args.data_root, args.seq)
-    num_t = stacked["means3D"].shape[0] if stacked["means3D"].ndim == 3 else 1
-    rows = []
-    # Metric runs want bit-faithful depth: the training fast path quantizes
-    # depth into the fused sort key (~2^-(bits_z-8) relative buckets,
-    # ops/sorted_raster.py); "exact" carries the f32 depth row instead.
-    from dynamic3dgaussians_tpu.ops.rasterize import RasterConfig
-    eval_rcfg = RasterConfig(depth_mode="exact")
-    for t in range(min(num_t, args.max_timesteps)):
-        frames = D.load_timestep(args.data_root, args.seq, md, t)
-        for f in frames[:args.max_cams]:
-            out = render_frame(params_at_t(stacked, t), f["camera"],
-                               config=eval_rcfg)
-            row = {
-                "t": t, "cam": int(f["cam_id"]),
-                "psnr": float(M.masked_psnr(jnp.clip(out.rgb, 0, 1),
-                                            f["im"])),
-                "ssim": float(M.masked_ssim(jnp.clip(out.rgb, 0, 1),
-                                            f["im"])),
-            }
-            if "gt_depth" in f:
-                # reference-style abs-rel through point-cloud reprojection
-                # (metrics.py:131-213), on alpha-unpremultiplied depth
-                cam = f["camera"]
-                k = np.array([[float(cam.fx), 0, float(cam.cx)],
-                              [0, float(cam.fy), float(cam.cy)],
-                              [0, 0, 1]], np.float32)
-                d = out.depth / jnp.maximum(out.alpha, 1e-6)
-                row["depth_abs_rel"] = float(M.depth_abs_rel_reprojected(
-                    d, f["gt_depth"], jnp.asarray(k)))
-            rows.append(row)
-    mean_psnr = float(np.mean([r["psnr"] for r in rows]))
-    mean_ssim = float(np.mean([r["ssim"] for r in rows]))
-    summary = {"psnr": mean_psnr, "ssim": mean_ssim, "n_views": len(rows)}
-    d_rows = [r["depth_abs_rel"] for r in rows if "depth_abs_rel" in r]
-    if d_rows:
-        summary["depth_abs_rel"] = float(np.mean(d_rows))
+    summary, rows = evaluate_sequence(stacked, args.data_root, args.seq,
+                                      max_timesteps=args.max_timesteps,
+                                      max_cams=args.max_cams)
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"mean_psnr": mean_psnr, "mean_ssim": mean_ssim,
-                       "rows": rows}, f, indent=2)
+            json.dump({"mean_psnr": summary["psnr"],
+                       "mean_ssim": summary["ssim"], "rows": rows}, f,
+                      indent=2)
+
+
+def cmd_evaluate_suite(args):
+    from dynamic3dgaussians_tpu.eval.suite import evaluate_suite
+
+    pairs = []
+    for item in args.pairs.split(","):
+        seq, _, path = item.partition("=")
+        if not path:
+            raise SystemExit(f"--pairs item '{item}' must be seq=params.npz")
+        pairs.append((seq, path))
+    result = evaluate_suite(pairs, args.data_root,
+                            max_timesteps=args.max_timesteps,
+                            max_cams=args.max_cams, out_path=args.out)
+    for seq, sm in result["scenes"].items():
+        print(f"{seq}: psnr {sm['psnr']:.2f} ssim {sm['ssim']:.4f}"
+              + (f" absrel {sm['depth_abs_rel']:.4f}"
+                 if "depth_abs_rel" in sm else ""))
+    print(json.dumps({"mean": result["mean"],
+                      "n_scenes": len(result["scenes"])}))
 
 
 def main(argv=None):
@@ -303,6 +286,16 @@ def main(argv=None):
     p.add_argument("--max_cams", type=int, default=4)
     p.add_argument("--out", type=str, default=None)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("evaluate-suite",
+                       help="multi-scene eval table (config ladder 5)")
+    p.add_argument("--pairs", type=str, required=True,
+                   help="comma list of seq=params.npz")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--max_timesteps", type=int, default=10)
+    p.add_argument("--max_cams", type=int, default=4)
+    p.add_argument("--out", type=str, default=None)
+    p.set_defaults(fn=cmd_evaluate_suite)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -73,3 +73,35 @@ def test_file_train_emits_reference_npz_and_visualizes(scene_dir, tmp_path):
     cli.main(["visualize", "--params", params_path, "--out", gif,
               "--frames", "2", "--width", "64", "--height", "48"])
     assert os.path.exists(gif)
+
+
+def test_evaluate_suite_multi_scene(scene_dir, tmp_path):
+    """config ladder (5): the multi-scene eval driver aggregates per-scene
+    PSNR/SSIM into one table (eval/suite.py; cli 'evaluate-suite')."""
+    import json
+
+    from dynamic3dgaussians_tpu import cli
+
+    from dynamic3dgaussians_tpu.data import synthetic
+
+    # train one tiny model on the reference-layout scene; register a second
+    # sequence in the same root so the suite aggregates two real entries
+    scene2 = synthetic.make_gt_scene(n_fg=40, n_bg=80, seed=4)
+    synthetic.write_reference_layout(str(scene_dir), "rt2", num_t=2,
+                                     num_cams=3, w=48, h=36, scene=scene2)
+    out_dir = tmp_path / "out"
+    cli.main(["train", "--data_root", str(scene_dir), "--seq", "rt",
+              "--exp", "e", "--output", str(out_dir),
+              "--timesteps", "2", "--iters_first", "8", "--iters_per_t", "4",
+              "--checkpoint_every", "0"])
+    params = str(out_dir / "e" / "rt" / "params.npz")
+    suite_out = str(tmp_path / "suite.json")
+    cli.main(["evaluate-suite", "--pairs", f"rt={params},rt2={params}",
+              "--data_root", str(scene_dir), "--max_timesteps", "2",
+              "--max_cams", "2", "--out", suite_out])
+    with open(suite_out) as f:
+        result = json.load(f)
+    assert "mean" in result and "psnr" in result["mean"]
+    assert len(result["scenes"]) == 2
+    for sm in result["scenes"].values():
+        assert np.isfinite(sm["psnr"]) and 0.0 <= sm["ssim"] <= 1.0
