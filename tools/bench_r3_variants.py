@@ -78,10 +78,6 @@ def main():
         "base_r2": C(),
         "cull": C(exact_cull=True),
         "cull_mxu": C(exact_cull=True, power_impl="mxu"),
-        "cull_c256": C(exact_cull=True, chunk=256),
-        "cull_mxu_c256": C(exact_cull=True, power_impl="mxu", chunk=256),
-        "cull_mxu_c256b": C(exact_cull=True, power_impl="mxu", chunk=256,
-                            scan_impl="matmul_block128"),
         "cull_pack": C(exact_cull=True, pack_records=True),
         "cull_mxu_c256_pack": C(exact_cull=True, power_impl="mxu",
                                 chunk=256, pack_records=True),
