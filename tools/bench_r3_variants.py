@@ -174,8 +174,34 @@ def main():
         cache = jax.block_until_ready(key(np.float32(0.0)))
         ms_frame = pipelined_ms(lambda s: frame(s, cache))
         ms_key = pipelined_ms(key, iters=10)
-        return {"frame_ms": round(ms_frame, 3), "key_ms": round(ms_key, 3),
-                "fps_resort8": round(1e3 / (ms_frame + ms_key / 8), 1)}
+
+        # batched playback: 4 cached frames per dispatch (orbit steps
+        # around the key camera) — the max-throughput visualizer loop
+        cams = []
+        for i in range(4):
+            wc = np.eye(4, dtype=np.float32)
+            wc[2, 3] = 6.0
+            wc[0, 3] = 0.01 * i
+            cams.append(make_camera(
+                w, h, [[500, 0, w / 2], [0, 500, h / 2], [0, 0, 1]], wc))
+        bc = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+        @jax.jit
+        def frames4(s, cache):
+            return jax.vmap(lambda c: render_playback(
+                c, means + s, colors, opac, scales, quats, cache,
+                config=cfg).rgb)(bc)
+
+        out = timed("playback_batch4",
+                    lambda: pipelined_ms(lambda s: frames4(s, cache),
+                                         iters=15))
+        ms_b4 = None if out is None else out / 4.0
+        res = {"frame_ms": round(ms_frame, 3), "key_ms": round(ms_key, 3),
+               "fps_resort8": round(1e3 / (ms_frame + ms_key / 8), 1)}
+        if ms_b4 is not None:
+            res["batch4_frame_ms"] = round(ms_b4, 3)
+            res["batch4_fps_resort8"] = round(1e3 / (ms_b4 + ms_key / 8), 1)
+        return res
 
     def probe_batch4():
         """vmap the exact render over 4 cameras: one XLA program overlaps
