@@ -94,6 +94,10 @@ class RasterConfig:
     # ~0.06 px); below the 8-bit image quantum, off by default for
     # bit-strict golden parity.
     pack_records: bool = flax.struct.field(pytree_node=False, default=False)
+    # Backward pair->gaussian unsort: "sort" (payload sort by emission
+    # position) or "gather" (2-row argsort + packed-row gathers; only
+    # active with pack_records).
+    unsort_impl: str = flax.struct.field(pytree_node=False, default="sort")
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -239,7 +243,8 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             fused_key=cfg.fused_key, depth_mode=cfg.depth_mode,
             precision=cfg.kernel_precision, exact_cull=cfg.exact_cull,
             enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl,
-            scan_impl=cfg.scan_impl, pack_records=cfg.pack_records)
+            scan_impl=cfg.scan_impl, pack_records=cfg.pack_records,
+            unsort_impl=cfg.unsort_impl)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

@@ -134,7 +134,8 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     quantized_depth: bool = False,
                     precision: str = "highest", power_impl: str = "vpu",
                     scan_impl: str = "matmul_split3",
-                    pack_records: bool = False):
+                    pack_records: bool = False,
+                    unsort_impl: str = "sort"):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -257,15 +258,26 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                    for c in range(n_chan)]
         if pack:
             # gradient rows ride the unsort as packed bf16 pairs (range-
-            # safe; see pack2_bf16) — halves the second sort's payload too
+            # safe; see pack2_bf16) — halves the second sort's payload too.
+            # unsort_impl "gather" replaces the payload sort entirely with
+            # a 2-row argsort + packed-row gathers (cheaper iff a gather
+            # costs less than carrying a payload row through lax.sort —
+            # the sweep's gather probe decides the default).
             src = list(d_rows)
             if len(src) % 2:
                 src.append(jnp.zeros_like(src[0]))
             pk = tuple(pack2_bf16(src[2 * i], src[2 * i + 1])
                        for i in range(len(src) // 2))
-            un = lax.sort((spos,) + pk, num_keys=1, is_stable=False)
+            if unsort_impl == "gather":
+                iota = lax.broadcasted_iota(jnp.int32, (1, ne), 1)[0]
+                perm = lax.sort((spos, iota), num_keys=1,
+                                is_stable=False)[1]
+                un_pk = tuple(w_[perm] for w_ in pk)
+            else:
+                un_pk = lax.sort((spos,) + pk, num_keys=1,
+                                 is_stable=False)[1:]
             vals = []
-            for w_ in un[1:]:
+            for w_ in un_pk:
                 a, b = unpack2_bf16(w_)
                 vals += [a, b]
             vals = vals[:7 + n_chan]
@@ -297,7 +309,7 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   precision: str = "highest", exact_cull: bool = True,
                   enum_cap: int = 0, power_impl: str = "vpu",
                   scan_impl: str = "matmul_split3",
-                  pack_records: bool = False
+                  pack_records: bool = False, unsort_impl: str = "sort"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -348,7 +360,7 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                                 n_chan, bits_z,
                                 bits_z > 0 and depth_mode == "quantized",
                                 precision, power_impl, scan_impl,
-                                pack_records)
+                                pack_records, unsort_impl)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

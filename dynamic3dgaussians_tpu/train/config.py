@@ -32,6 +32,7 @@ class RasterSettings:
     power_impl: str = "vpu"
     scan_impl: str = "matmul_split3"
     pack_records: bool = False
+    unsort_impl: str = "sort"
 
 
 @dataclasses.dataclass

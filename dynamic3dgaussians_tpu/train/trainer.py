@@ -51,7 +51,8 @@ def raster_config(cfg: TrainConfig) -> RasterConfig:
                         pairs_per_gaussian=r.pairs_per_gaussian,
                         exact_cull=r.exact_cull, power_impl=r.power_impl,
                         scan_impl=r.scan_impl,
-                        pack_records=r.pack_records)
+                        pack_records=r.pack_records,
+                        unsort_impl=r.unsort_impl)
 
 
 def densify_with_growth(densify_jit, params, variables, opt_state, i, sub,

@@ -224,7 +224,7 @@ def main():
 
         return pipelined_ms(fb, iters=15) / 4.0
 
-    def probe_train(power):
+    def probe_train(power, unsort="sort"):
         """Full train step (render fwd+bwd + im/seg losses + Adam) at the
         bench shape with packed transport; decides bench.py's train
         config (vpu vs mxu backward)."""
@@ -243,7 +243,7 @@ def main():
         params, variables = G.init_params(pt, w2c0[None], capacity=cap)
         tcfg = TrainConfig(capacity=cap, raster=RasterSettings(
             tile_h=16, tile_w=16, chunk=128, max_tiles_per_gaussian=4,
-            pack_records=True, power_impl=power))
+            pack_records=True, power_impl=power, unsort_impl=unsort))
         step = make_train_step(tcfg, raster_config(tcfg))
         opt_state = optim.init(params)
         lrs = {k: jnp.float32(1e-4) for k in params}
@@ -264,6 +264,8 @@ def main():
                        ("batch4_per_frame_ms", probe_batch4),
                        ("train_pack_vpu_ms", lambda: probe_train("vpu")),
                        ("train_pack_mxu_ms", lambda: probe_train("mxu")),
+                       ("train_pack_mxu_gather_ms",
+                        lambda: probe_train("mxu", "gather")),
                        ("gather_800k_rows16", probe_gather),
                        ("sort_len_scaling", probe_sort_len)]:
         out = timed(pname, pfn)
