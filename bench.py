@@ -104,8 +104,20 @@ def main():
     cam = make_camera(w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c)
     # K=4 emission is lossless for this scene (n_dropped_rect == 0 and the
     # image is bit-identical to K=16) and cuts the pair sort nearly in half.
-    cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128,
-                       max_tiles_per_gaussian=4)
+    # Two forward candidates are measured and the faster one wins (and is
+    # used by every later phase): "fast" stacks the round-3 levers — MXU
+    # bilinear power, packed-f16 sort transport, chunk-256 hierarchical
+    # scan (all CPU-parity-validated; see tests/test_pallas.py) — on top of
+    # the r2-proven "base" config. If a candidate's Mosaic compile fails or
+    # wedges it is skipped, so the bench still lands a nonzero number.
+    candidates = [
+        ("fast", RasterConfig(tile_h=16, tile_w=16, chunk=256,
+                              max_tiles_per_gaussian=4, power_impl="mxu",
+                              scan_impl="matmul_block128",
+                              pack_records=True)),
+        ("base", RasterConfig(tile_h=16, tile_w=16, chunk=128,
+                              max_tiles_per_gaussian=4)),
+    ]
 
     # device-touching setup gets its own timeout: a dead/wedged tunnel can
     # block the very first transfer forever, and the driver contract
@@ -118,12 +130,23 @@ def main():
         return
 
     # ---- forward render fps ----
-    @jax.jit
-    def fwd(s):
-        return render(cam, args[0] + s, args[1], args[2], args[3], args[4],
-                      config=cfg, method="pallas").rgb
+    def make_fwd(fcfg):
+        @jax.jit
+        def fwd(s):
+            return render(cam, args[0] + s, args[1], args[2], args[3],
+                          args[4], config=fcfg, method="pallas").rgb
+        return fwd
 
-    fwd_ms = timed_phase("forward", pipelined_ms, fwd)
+    cfg, fwd, fwd_ms = None, None, None
+    for cname, ccfg in candidates:
+        cfwd = make_fwd(ccfg)
+        ms = timed_phase(f"forward[{cname}]", pipelined_ms, cfwd)
+        if ms is None:
+            continue
+        RESULT[f"render_fps_{cname}"] = round(1e3 / ms, 2)
+        print(f"# forward[{cname}]: {ms:.3f} ms", flush=True)
+        if fwd_ms is None or ms < fwd_ms:
+            cfg, fwd, fwd_ms = ccfg, cfwd, ms
     if fwd_ms is None:
         RESULT["error"] = "forward phase blocked"
         print(json.dumps(RESULT))

@@ -232,3 +232,40 @@ def test_bwd_mxu_power_moments_grads_match():
         na = float(np.linalg.norm(np.asarray(a).ravel()))
         rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
         assert rel <= max(1e-3 * na, 1e-7), (rel, na)
+
+
+def test_bench_fast_candidate_parity():
+    """bench.py's "fast" forward candidate — the full round-3 lever stack
+    (exact_cull + power_impl="mxu" + chunk=256 block-128 scan +
+    pack_records) — must match the proven base config under the 8-bit
+    image quantum, so the bench headline can switch configs without
+    changing what is being measured."""
+    import dataclasses as dc
+    args = _args(n=150, seed=11)
+    bg = jnp.asarray([0.15, 0.1, 0.2])
+    base = dc.replace(CFG, max_tiles_per_gaussian=8)
+    fast = dc.replace(base, power_impl="mxu", chunk=256,
+                      scan_impl="matmul_block128", pack_records=True)
+    o0 = render(*args, config=base, bg=bg, method="pallas")
+    o1 = render(*args, config=fast, bg=bg, method="pallas")
+    np.testing.assert_allclose(np.asarray(o1.rgb), np.asarray(o0.rgb),
+                               atol=3.9e-3)  # one 8-bit quantum
+    # alpha rides the packed bf16 opacity row; a hair over one quantum
+    np.testing.assert_allclose(np.asarray(o1.alpha), np.asarray(o0.alpha),
+                               atol=5e-3)
+    assert int(o1.n_dropped_rect) == 0
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            out = render(args[0], m, c, o, s, q, method="pallas",
+                         config=cfg, bg=bg)
+            return jnp.mean((out.rgb - 0.3) ** 2) + 0.01 * jnp.mean(
+                out.alpha)
+        return f
+
+    g0 = jax.grad(loss(base), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g1 = jax.grad(loss(fast), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b in zip(g0, g1):
+        na = float(np.linalg.norm(np.asarray(a).ravel()))
+        rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
+        assert rel <= max(1e-2 * na, 3e-5), (rel, na)

@@ -81,6 +81,11 @@ def main():
         "cull_pack": C(exact_cull=True, pack_records=True),
         "cull_mxu_c256_pack": C(exact_cull=True, power_impl="mxu",
                                 chunk=256, pack_records=True),
+        # bench.py's "fast" candidate, verbatim (block-128 hierarchical
+        # scan on the 256 chunk) — the sweep result validates the bench's
+        # default choice directly.
+        "fast_bench": C(exact_cull=True, power_impl="mxu", chunk=256,
+                        pack_records=True, scan_impl="matmul_block128"),
         "cull_pack_k2": C(exact_cull=True, pack_records=True,
                           max_tiles_per_gaussian=2),
         "cull_mxu_pack_k2": C(exact_cull=True, power_impl="mxu",
