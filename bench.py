@@ -138,11 +138,21 @@ def main():
         return fwd
 
     cfg, fwd, fwd_ms = None, None, None
+    wedged = False  # an abandoned candidate thread may still hold the
+    # compile service / device and unwedge mid-measurement of a later
+    # candidate; when that has happened, measure twice and take the min
+    # (the second pipelined run is cheap — no recompile) and flag the line.
     for cname, ccfg in candidates:
         cfwd = make_fwd(ccfg)
         ms = timed_phase(f"forward[{cname}]", pipelined_ms, cfwd)
         if ms is None:
+            wedged = True
+            RESULT["forward_candidate_wedged"] = cname
             continue
+        if wedged:
+            ms2 = timed_phase(f"forward[{cname}]#2", pipelined_ms, cfwd)
+            if ms2 is not None:
+                ms = min(ms, ms2)
         RESULT[f"render_fps_{cname}"] = round(1e3 / ms, 2)
         print(f"# forward[{cname}]: {ms:.3f} ms", flush=True)
         if fwd_ms is None or ms < fwd_ms:
@@ -202,19 +212,17 @@ def main():
             result["value"] = round(amort, 2)
             result["vs_baseline"] = round(amort / 800.0, 4)
             result["headline"] = "playback_fps_resort8"
+            # rename the metric when the measured quantity changes so no
+            # consumer compares playback numbers against historical exact-
+            # render numbers under the same name
+            result["metric"] = "trained_scene_fps_200k"
             result["render_fps_exact"] = round(fps, 2)
         emit(result)
 
         # batched playback: 4 cached orbit frames per dispatch — the
         # max-throughput form of the reference's visualizer loop
-        cams4 = []
-        for i4 in range(4):
-            wc4 = np.eye(4, dtype=np.float32)
-            wc4[2, 3] = 6.0
-            wc4[0, 3] = 0.01 * i4
-            cams4.append(make_camera(
-                w, h, [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], wc4))
-        bc4 = jax.tree.map(lambda *xs: jnp.stack(xs), *cams4)
+        from tools.bench_common import orbit4_cameras
+        bc4 = orbit4_cameras(w, h, f)
 
         @jax.jit
         def frames4(s, cache):
@@ -236,6 +244,7 @@ def main():
                 result["value"] = round(amort4, 2)
                 result["vs_baseline"] = round(amort4 / 800.0, 4)
                 result["headline"] = "playback_batch4_fps_resort8"
+                result["metric"] = "trained_scene_fps_200k"
                 result["render_fps_exact"] = round(fps, 2)
             emit(result)
 

@@ -89,8 +89,16 @@ def evaluate_suite(pairs: List[Tuple[str, str]], data_root: str,
         stacked = load_params(params_path)
         summary, rows = evaluate_sequence(stacked, data_root, seq,
                                           max_timesteps, max_cams)
-        scenes[seq] = summary
-        all_rows[seq] = rows
+        # same seq evaluated with several checkpoints (A/B use) must not
+        # silently overwrite: disambiguate the result key
+        key_name, dup = seq, 2
+        while key_name in scenes:
+            key_name = f"{seq}#{dup}"
+            dup += 1
+        if key_name != seq:
+            summary = dict(summary, params_path=params_path)
+        scenes[key_name] = summary
+        all_rows[key_name] = rows
     mean = {}
     for key in ("psnr", "ssim", "depth_abs_rel"):
         vals = [s[key] for s in scenes.values() if key in s]

@@ -104,3 +104,14 @@ def orbit_cameras(center, radius: float, height: float, n: int, w: int, h: int,
         k = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
         cams.append(make_camera(w, h, k, w2c, near, far))
     return cams
+
+
+def stack_cameras(cams):
+    """Stack a list of Cameras into one batched Camera pytree (leaf-wise
+    jnp.stack) for vmapped multi-frame rendering; static fields (width/
+    height/near/far) must agree and are taken from the first camera."""
+    import jax
+    first = cams[0]
+    assert all((c.width, c.height) == (first.width, first.height)
+               for c in cams), "stack_cameras: mixed image sizes"
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)

@@ -269,3 +269,30 @@ def test_bench_fast_candidate_parity():
         na = float(np.linalg.norm(np.asarray(a).ravel()))
         rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
         assert rel <= max(1e-2 * na, 3e-5), (rel, na)
+
+
+def test_gather_unsort_grads_bitwise_equal():
+    """unsort_impl="gather" (2-row argsort + packed-row gathers,
+    sorted_raster.py) must produce BITWISE-identical gradients to the
+    payload-sort unsort — the permutation applied is the same, only the
+    transport differs."""
+    import dataclasses as dc
+    args = _args(n=140, seed=13)
+    bg = jnp.asarray([0.1, 0.15, 0.05])
+    c_sort = dc.replace(CFG, pack_records=True, unsort_impl="sort")
+    c_gather = dc.replace(CFG, pack_records=True, unsort_impl="gather")
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            out = render(args[0], m, c, o, s, q, method="pallas",
+                         config=cfg, bg=bg)
+            return (jnp.mean((out.rgb - 0.4) ** 2)
+                    + 0.02 * jnp.mean(out.depth)
+                    + 0.01 * jnp.mean(out.alpha))
+        return f
+
+    g0 = jax.grad(loss(c_sort), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g1 = jax.grad(loss(c_gather), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in g1)

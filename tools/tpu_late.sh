@@ -11,7 +11,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 timeout -k 60 1800 python -u tools/run_tpu_gate.py 2>&1 | grep -v WARNING \
     | tee artifacts/tpu_gate_r03.txt
-echo "gate rc=$?"
+echo "gate rc=${PIPESTATUS[0]}"  # grep -v exits 1 on all-WARNING output
 sleep 30
 timeout -k 60 4000 python -u bench.py 2>&1 | grep -v WARNING \
     | tee artifacts/bench_builder_r03.txt
