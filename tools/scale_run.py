@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--report", type=int, default=50)
     ap.add_argument("--min_gain_db", type=float, default=2.0)
+    # reference cadence is every 100 (external.py:244-292); the CPU
+    # mechanism run compresses the schedule to reach growth pressure in
+    # fewer (slow) iterations
+    ap.add_argument("--densify_every", type=int, default=100)
     ap.add_argument("--k_cap", type=int, default=16)
     ap.add_argument("--max_per_tile", type=int, default=2048)
     ap.add_argument("--out", type=str, default=None)
@@ -76,7 +80,7 @@ def main():
     cfg = TrainConfig(
         num_timesteps=1, iters_first_timestep=args.iters,
         capacity=G.round_capacity(args.n * 2),
-        densify_start=100, densify_every=100,
+        densify_start=100, densify_every=args.densify_every,
         densify_end=min(args.iters, 5000), grow_capacity=True,
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
                               max_tiles_per_gaussian=args.k_cap,
