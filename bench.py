@@ -10,14 +10,16 @@ The (growing) result object is re-emitted after every completed phase so a
 device wedge in a later phase can never erase completed measurements — a
 parser must take the final line, not the first.
 
-Headline semantics: `value` is the best honest frames-per-second for the
-reference's own 800-FPS quantity — its visualizer loop over a trained
-scene. When the cached-order playback loop (ops/playback.py, resort every
-8 frames, per-frame image deltas under one 8-bit quantum at interactive
-frame deltas) beats the exact per-frame render, `value` reports it and the
-line carries `headline` naming which mode won plus `render_fps_exact` for
-the raw per-frame number. Consumers tracking the exact render should read
-`render_fps_exact` (or `value` when no `headline` key is present).
+Headline semantics: `value`/`vs_baseline` are ALWAYS the exact per-frame
+render — the same quantity as the reference's 800-FPS claim (one full
+rasterize per frame, README.md:98). The cached-order playback loop
+(ops/playback.py) is reported separately as `playback_fps` /
+`playback_batch4_fps`, and only when an in-bench image-delta gate passes:
+the worst-staleness frame of the resort-8 loop (cache from frame 0,
+rendered at frame 7 of the interactive orbit) must differ from the exact
+render of the same frame by less than one 8-bit quantum
+(`playback_max_delta_8bit` < 1.0). A failed gate reports the delta and
+withholds the playback fps fields.
 
 Baselines (BASELINE.md, /root/reference/README.md:90-98): ~800 FPS raw
 render of a trained scene and ~50 train it/s WITH the rigidity loss on the
@@ -200,23 +202,43 @@ def main():
         ms_key = pipelined_ms(keyframe, iters=10)
         return ms_frame, ms_key
 
+    # image-delta gate (computed IN the bench, on the bench scene): the
+    # worst-staleness frame of the resort-8 loop is frame 7 rendered
+    # through the frame-0 cache. Compare it against the exact render of
+    # the same frame; playback fps is only reported if the max per-pixel
+    # delta stays under one 8-bit quantum. `value` is never touched.
+    def delta_gate():
+        w2c7 = np.eye(4, dtype=np.float32)
+        w2c7[2, 3] = 6.0
+        w2c7[0, 3] = 0.01 * 7  # 7 frames of the interactive orbit step
+        cam7 = make_camera(w, h,
+                           [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2c7)
+
+        @jax.jit
+        def pair():
+            cache = build_cache(cam, args[0], args[2], args[3], args[4],
+                                config=cfg)
+            pb = render_playback(cam7, args[0], args[1], args[2], args[3],
+                                 args[4], cache, config=cfg).rgb
+            ex = render(cam7, args[0], args[1], args[2], args[3], args[4],
+                        config=cfg, method="pallas").rgb
+            return jnp.max(jnp.abs(pb - ex)) * 255.0
+
+        return float(jax.block_until_ready(pair()))
+
     out = timed_phase("playback", playback_phase)
     if out is not None:
         ms_frame, ms_key = out
         m = 8
-        amort = 1e3 / (ms_frame + ms_key / m)
+        delta = timed_phase("playback_delta_gate", delta_gate)
+        result["playback_max_delta_8bit"] = (None if delta is None
+                                             else round(delta, 4))
+        gate_ok = delta is not None and delta < 1.0
+        result["playback_gate_pass"] = gate_ok
         result["playback_frame_ms"] = round(ms_frame, 3)
         result["playback_key_ms"] = round(ms_key, 3)
-        result["playback_fps_resort8"] = round(amort, 2)
-        if amort > result["value"]:
-            result["value"] = round(amort, 2)
-            result["vs_baseline"] = round(amort / 800.0, 4)
-            result["headline"] = "playback_fps_resort8"
-            # rename the metric when the measured quantity changes so no
-            # consumer compares playback numbers against historical exact-
-            # render numbers under the same name
-            result["metric"] = "trained_scene_fps_200k"
-            result["render_fps_exact"] = round(fps, 2)
+        if gate_ok:
+            result["playback_fps"] = round(1e3 / (ms_frame + ms_key / m), 2)
         emit(result)
 
         # batched playback: 4 cached orbit frames per dispatch — the
@@ -237,15 +259,10 @@ def main():
         b4 = timed_phase("playback_batch4", batch_phase)
         if b4 is not None:
             ms_b4 = b4 / 4.0
-            amort4 = 1e3 / (ms_b4 + ms_key / m)
             result["playback_batch4_frame_ms"] = round(ms_b4, 3)
-            result["playback_batch4_fps_resort8"] = round(amort4, 2)
-            if amort4 > result["value"]:
-                result["value"] = round(amort4, 2)
-                result["vs_baseline"] = round(amort4 / 800.0, 4)
-                result["headline"] = "playback_batch4_fps_resort8"
-                result["metric"] = "trained_scene_fps_200k"
-                result["render_fps_exact"] = round(fps, 2)
+            if gate_ok:
+                result["playback_batch4_fps"] = round(
+                    1e3 / (ms_b4 + ms_key / m), 2)
             emit(result)
 
     # ---- forward + full backward (the grad-kernel metric) ----

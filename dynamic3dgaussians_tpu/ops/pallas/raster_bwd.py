@@ -293,6 +293,11 @@ def pallas_composite_tiles_bwd(rec_t: jnp.ndarray,
       real pair are never written — mask before consuming.
     """
     p = tile_h * tile_w
+    if power_impl == "mxu" and max(tile_h, tile_w) > 16:
+        # same guard as pallas_composite_tiles: tile_pixel_feats'
+        # bf16-exactness (rx*ry <= 225) breaks past 16-px tiles — a direct
+        # caller bypassing the forward must not silently get degraded grads
+        raise ValueError("power_impl='mxu' requires tile_h, tile_w <= 16")
     n_rows = rec_t.shape[0]
     n_val = n_rows - GEOM_ROWS
     ne_pad = rec_t.shape[1]

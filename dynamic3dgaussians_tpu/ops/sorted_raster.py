@@ -113,9 +113,15 @@ def pack2_bf16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     f16 would overflow past 65504, at 8 bits of mantissa — per-pair
     rounding noise that stays ~0.4% relative through the (K, N) sum.
     Round-to-nearest via +0x8000 on the raw bits (carry propagates into
-    the exponent exactly as bf16 RN requires; inputs are finite grads)."""
-    ab = lax.bitcast_convert_type(a, jnp.int32) + jnp.int32(0x8000)
-    bb = lax.bitcast_convert_type(b, jnp.int32) + jnp.int32(0x8000)
+    the exponent exactly as bf16 RN requires). Non-finite inputs skip the
+    rounding add (which would carry past the exponent and produce
+    arbitrary finite bits): inf stays inf and NaN stays non-finite under
+    bit truncation, so a loss spike under pack_records=True still
+    propagates instead of being silently mangled (advisor r3)."""
+    ar = lax.bitcast_convert_type(a, jnp.int32)
+    br = lax.bitcast_convert_type(b, jnp.int32)
+    ab = jnp.where(jnp.isfinite(a), ar + jnp.int32(0x8000), ar)
+    bb = jnp.where(jnp.isfinite(b), br + jnp.int32(0x8000), br)
     lo = lax.shift_right_logical(ab, 16)
     hi = bb & jnp.int32(-65536)
     return hi | lo

@@ -37,7 +37,11 @@ def make_dp_train_step(cfg: TrainConfig, rcfg: RasterConfig, mesh: Mesh,
     The returned function takes a camera batch whose leading axis is divisible
     by the mesh's `axis` size; params/opt_state/variables are replicated.
 
-    reduce:
+    reduce (default "pmean" — decided in PROFILE.md §"Multi-chip
+    gradient-reduction default": at this model family's scale both modes'
+    ICI+optimizer costs are <1% of the step, so the simpler mode with
+    fewer collectives and no capacity%K constraint wins; psum_scatter is
+    kept for capacities ~100x beyond this regime):
       "pmean"        — all-reduce gradients, replicated Adam (baseline).
       "psum_scatter" — ZeRO-style: per-gaussian gradients reduce-scattered
         over the axis, Adam runs on each device's 1/K row-shard, updated

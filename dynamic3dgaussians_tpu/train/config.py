@@ -33,6 +33,10 @@ class RasterSettings:
     scan_impl: str = "matmul_split3"
     pack_records: bool = False
     unsort_impl: str = "sort"
+    # render path: "auto" (pallas on TPU, tiled elsewhere), "pallas",
+    # "tiled". Tests force "pallas" to exercise the kernels in interpret
+    # mode on CPU (tests/test_scale_slow.py).
+    method: str = "auto"
 
 
 @dataclasses.dataclass

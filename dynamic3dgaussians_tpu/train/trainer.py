@@ -98,7 +98,8 @@ def compute_loss(params: Dict, probe: jnp.ndarray, batch: Dict,
     out = render(batch["camera"], act["means3d"], act["colors"],
                  act["opacity"], act["scales"], act["rotations"],
                  extra_channels=extra,
-                 mean2d_probe_ndc=probe, config=rcfg)
+                 mean2d_probe_ndc=probe, config=rcfg,
+                 method=cfg.raster.method)
 
     cam_id = batch["cam_id"]
     im = L.apply_cam_correction(out.rgb, params["cam_m"][cam_id],
@@ -200,15 +201,17 @@ def initialize_per_timestep(params: Dict, variables: Dict,
     prev_offset = jnp.stack([nx - pts[None, :, 0], ny - pts[None, :, 1],
                              nz - pts[None, :, 2]], axis=0)
 
-    # explicit device copies: train_step donates its inputs, so variables
-    # must never alias params' buffers (or each other)
-    cp = lambda x: jnp.array(x, copy=True)
+    # variables may alias params' buffers freely: train_step does NOT
+    # donate its inputs (see the no-donate note on make_train_step), and
+    # JAX arrays are immutable, so no defensive copies are needed. If
+    # donation is ever enabled, XLA will error on the doubly-donated
+    # aliased buffers rather than corrupt them.
     new_vars = dict(variables)
     new_vars["prev_inv_rot"] = quat.conjugate(rot)
     new_vars["prev_offset"] = prev_offset
-    new_vars["prev_col"] = cp(params["rgb_colors"])
-    new_vars["prev_pts"] = cp(new_pts)
-    new_vars["prev_rot"] = cp(new_rot)
+    new_vars["prev_col"] = params["rgb_colors"]
+    new_vars["prev_pts"] = new_pts
+    new_vars["prev_rot"] = new_rot
 
     new_params = dict(params)
     new_params["means3D"] = new_pts
@@ -245,12 +248,11 @@ def initialize_post_first_timestep(params: Dict, variables: Dict,
     new_vars["neighbor_weight"] = jnp.exp(-cfg.knn_weight_beta * sq_dist)
     new_vars["neighbor_dist"] = jnp.sqrt(sq_dist)
     rot = quat.normalize(params["unnorm_rotations"])
-    # distinct device copies — see donation note in initialize_per_timestep
-    cp = lambda x: jnp.array(x, copy=True)
-    new_vars["init_bg_pts"] = cp(params["means3D"])
-    new_vars["init_bg_rot"] = cp(rot)
-    new_vars["prev_pts"] = cp(params["means3D"])
-    new_vars["prev_rot"] = cp(rot)
+    # aliasing params is fine — no donation; see initialize_per_timestep
+    new_vars["init_bg_pts"] = params["means3D"]
+    new_vars["init_bg_rot"] = rot
+    new_vars["prev_pts"] = params["means3D"]
+    new_vars["prev_rot"] = rot
     return new_vars
 
 
@@ -342,6 +344,11 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
         todo: List[int] = []
         start_i = resume_i + 1 if t == resume_t else 0
         k_cams = max(1, min(cfg.cams_per_step, len(data_t)))
+        # lazy on-device accumulator (no per-step host sync): truncation on
+        # the 99 non-report steps must still be visible at report time
+        # (advisor r3: sampling only the report step can hide intermittent
+        # K-cap overflow indefinitely)
+        rect_drop_accum = jnp.int32(0)
         for i in range(start_i, num_iters):
             # random camera(s) without replacement (reference get_batch);
             # cams_per_step > 1 stacks a camera batch (vmapped in the step)
@@ -356,6 +363,9 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                 batch = jax.tree.map(lambda *xs: jnp.stack(xs), *picks)
             params, opt_state, variables, metrics = train_step(
                 params, opt_state, variables, batch, lrs, is_initial)
+            if cfg.grow_tiles and "n_dropped_rect" in metrics:
+                rect_drop_accum = rect_drop_accum + jnp.asarray(
+                    metrics["n_dropped_rect"], jnp.int32)
             global_step += 1
             if ckpt_mgr and checkpoint_every and \
                     global_step % checkpoint_every == 0:
@@ -375,11 +385,12 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
             if i % cfg.report_every == 0:
                 # Rect-cap escalation: the CUDA reference never truncates a
                 # gaussian's tile rect (forward.cu:246-250); if the K
-                # emission slots overflowed this step, double K and rebuild
+                # emission slots overflowed on ANY step since the last
+                # report (accumulated on-device above), double K and rebuild
                 # the step (recompile amortized, same pattern as capacity
                 # growth) so no gradient systematically misses coverage.
                 if (cfg.grow_tiles
-                        and int(metrics.get("n_dropped_rect", 0)) > 0
+                        and int(rect_drop_accum) > 0
                         and cfg.raster.max_tiles_per_gaussian < 64):
                     import dataclasses as _dc
                     new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
@@ -390,6 +401,7 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                     train_step = make_train_step(cfg, rcfg)
                     if "on_grow_tiles" in callbacks:
                         callbacks["on_grow_tiles"](t, i, new_k)
+                rect_drop_accum = jnp.int32(0)
                 if "on_step" in callbacks:
                     callbacks["on_step"](t, i, metrics)
 

@@ -142,6 +142,14 @@ class CheckpointSource:
                                 config=self.config)
             ent = {"cache": cache, "center": cam_c, "age": 0}
             self._pb[t] = ent
+            # bounded LRU: a cache pins ~K*N int32 of device memory per
+            # timestep (~3 MB at 200k gaussians); a 150-timestep scrub
+            # would otherwise pin hundreds of MB (advisor r3). Keep the
+            # few most recently used timesteps.
+            while len(self._pb) > 4:
+                # dict preserves insertion order; re-inserting on refresh
+                # keeps the active timestep newest
+                self._pb.pop(next(iter(k for k in self._pb if k != t)))
         ent["age"] += 1
         return render_playback(cam, act["means3d"], act["colors"],
                                act["opacity"], act["scales"],

@@ -17,7 +17,7 @@ FIXTURES = sorted(glob.glob(os.path.join(
     os.path.dirname(__file__), "fixtures", "golden_render_*.npz")))
 
 
-def _render_both(fx, method):
+def _render_both(fx, method, cfg_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +30,8 @@ def _render_both(fx, method):
     cfg = RasterConfig(tile_h=16, tile_w=16, chunk=128, max_per_tile=1024,
                        max_tiles_per_gaussian=int(fx["k_cap"]),
                        pairs_per_gaussian=int(fx["k_cap"]))
+    if cfg_overrides:
+        cfg = cfg.replace(**cfg_overrides)
     kw = {}
     if "extra_in" in fx:
         kw["extra_channels"] = jnp.asarray(fx["extra_in"])

@@ -112,6 +112,7 @@ def main():
                                   "on_timestep": on_timestep})
     log["t_total_s"] = round(time.time() - t0, 1)
     log["final_alive"] = log["per_timestep"][-1]["n_alive"]
+    log["completed"] = True  # configured-timestep completion marker
     flush()
     tail = [p["final_psnr"] for p in log["per_timestep"]]
     print(f"wrote {out}; per-timestep psnr {tail}")

@@ -43,6 +43,10 @@ def main():
     # mechanism run compresses the schedule to reach growth pressure in
     # fewer (slow) iterations
     ap.add_argument("--densify_every", type=int, default=100)
+    # 0 = reference window min(iters, 5000); a smaller value stops topology
+    # growth early so the tail iterations demonstrate stable optimization
+    # at the grown scale instead of unbounded growth
+    ap.add_argument("--densify_end", type=int, default=0)
     ap.add_argument("--k_cap", type=int, default=16)
     ap.add_argument("--max_per_tile", type=int, default=2048)
     ap.add_argument("--out", type=str, default=None)
@@ -81,7 +85,8 @@ def main():
         num_timesteps=1, iters_first_timestep=args.iters,
         capacity=G.round_capacity(args.n * 2),
         densify_start=100, densify_every=args.densify_every,
-        densify_end=min(args.iters, 5000), grow_capacity=True,
+        densify_end=(args.densify_end or min(args.iters, 5000)),
+        grow_capacity=True,
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
                               max_tiles_per_gaussian=args.k_cap,
                               pairs_per_gaussian=args.k_cap,
@@ -114,12 +119,21 @@ def main():
         with open(out, "w") as f:
             json.dump(log, f, indent=1)
     todo = []
+    # lazy on-device accumulators: drops on non-report steps must still be
+    # visible at report time (advisor r3 finding on the trainer's
+    # escalation; same rule here)
+    rect_accum = jnp.int32(0)
+    drop_accum = jnp.int32(0)
     for i in range(args.iters):
         if not todo:
             todo = list(rng.permutation(len(dataset[0])))
         batch = dataset[0][todo.pop()]
         params, opt_state, variables, metrics = step(
             params, opt_state, variables, batch, lrs, True)
+        rect_accum = rect_accum + jnp.asarray(
+            metrics.get("n_dropped_rect", 0), jnp.int32)
+        drop_accum = drop_accum + jnp.asarray(metrics["n_dropped"],
+                                              jnp.int32)
         if cfg.densify_start <= i <= cfg.densify_end and \
                 i % cfg.densify_every == 0:
             key, sub = jax.random.split(key)
@@ -144,9 +158,11 @@ def main():
         if i % args.report == 0 or i == args.iters - 1:
             p = float(metrics["psnr"])
             log["psnr"].append({"i": i, "psnr": round(p, 3)})
-            log["n_dropped"] += int(metrics["n_dropped"])
-            nd_rect = int(metrics.get("n_dropped_rect", 0))
+            log["n_dropped"] += int(drop_accum)
+            nd_rect = int(rect_accum)
             log["n_dropped_rect"] += nd_rect
+            rect_accum = jnp.int32(0)
+            drop_accum = jnp.int32(0)
             # rect-cap escalation (trainer.py pattern): the reference never
             # truncates a tile rect (forward.cu:246-250) — double K and
             # rebuild the step whenever a report shows truncation.
@@ -170,6 +186,9 @@ def main():
 
     first, last = log["psnr"][0]["psnr"], log["psnr"][-1]["psnr"]
     log["psnr_gain_db"] = round(last - first, 3)
+    log["final_alive"] = int(np.asarray(variables["alive"]).sum())
+    log["final_capacity"] = int(variables["alive"].shape[0])
+    log["completed"] = True  # configured-iteration completion marker
     flush()
     print(f"wrote {out}: psnr {first:.2f} -> {last:.2f} "
           f"({log['it_per_s']} it/s, dropped={log['n_dropped']})")
