@@ -38,6 +38,12 @@ done
 echo "relay back $(date) — settling 60s" | tee -a "$LOG"
 sleep 60
 
+echo "== step 0: wait out any stale device session ==" | tee -a "$LOG"
+# a stale axon session (left by a killed client) holds the device ~30-60
+# min; wait_device blocks with NO external timeout until a tiny op runs
+# (killing it would create exactly the stale session it waits out)
+python -u tools/wait_device.py 2>&1 | grep -v WARNING | tee -a "$LOG"
+
 echo "== step 1: compiled-kernel gate (all shipping configs) ==" | tee -a "$LOG"
 python -u tools/run_tpu_gate.py 2>&1 | grep -v WARNING | tee artifacts/tpu_gate_r04.txt
 commit "Add round-4 TPU compiled-kernel gate log (all shipping configs)"
