@@ -90,10 +90,11 @@ def lane_inclusive_scan(x, chunk, interpret, impl="matmul_split3"):
     """
     if interpret:
         return jnp.cumsum(x, axis=1)
-    if impl == "matmul_block128" and chunk % 128 != 0:
-        # a non-multiple chunk would scan only the first floor(chunk/128)
-        # blocks and surface later as an opaque shape error deep in the
-        # kernel — fail with the actual constraint instead
+    if impl == "matmul_block128" and chunk > 128 and chunk % 128 != 0:
+        # a non-multiple chunk > 128 would scan only the first
+        # floor(chunk/128) blocks and surface later as an opaque shape
+        # error deep in the kernel — fail with the actual constraint
+        # instead. chunk <= 128 correctly falls through to matmul_split3.
         raise ValueError(
             f"scan_impl='matmul_block128' requires chunk % 128 == 0, "
             f"got chunk={chunk}")

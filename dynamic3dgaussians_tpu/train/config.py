@@ -61,6 +61,12 @@ class TrainConfig:
     # reports rect-cap truncation — the reference never truncates
     # (forward.cu:246-250)
     grow_tiles: bool = True
+    # tiled-path pair budget (pairs_per_gaussian) during K escalation:
+    # 0 = track K (semantically exact — pallas emission capacity is K*N
+    # and ignores this); a positive cap pins the CPU oracle's sort length
+    # for long runs (disclosed approximation: over-budget pairs are
+    # dropped and counted, never silent)
+    pairs_budget_cap: int = 0
     num_knn: int = 20                  # rigidity graph (train_beffor.py:243)
     knn_weight_beta: float = 2000.0    # exp(-2000 * d^2)
     # "exact" = O(N^2) MXU matmuls; "approx" = Morton-window (use above

@@ -394,9 +394,20 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                         and cfg.raster.max_tiles_per_gaussian < 64):
                     import dataclasses as _dc
                     new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
+                    # grow the tiled-path pair budget WITH K: on the CPU
+                    # oracle pair_capacity = pairs_per_gaussian * N, so an
+                    # escalation that only raised K would shift truncation
+                    # from counted rect drops to capacity drops instead of
+                    # eliminating it (pallas emission capacity is K*N
+                    # directly and ignores pairs_per_gaussian)
+                    new_pairs = (min(new_k, cfg.pairs_budget_cap)
+                                 if cfg.pairs_budget_cap else new_k)
+                    new_pairs = max(cfg.raster.pairs_per_gaussian,
+                                    new_pairs)
                     # non-destructive: never mutate the caller's TrainConfig
                     cfg = _dc.replace(cfg, raster=_dc.replace(
-                        cfg.raster, max_tiles_per_gaussian=new_k))
+                        cfg.raster, max_tiles_per_gaussian=new_k,
+                        pairs_per_gaussian=new_pairs))
                     rcfg = raster_config(cfg)
                     train_step = make_train_step(cfg, rcfg)
                     if "on_grow_tiles" in callbacks:

@@ -132,7 +132,9 @@ class CheckpointSource:
                                                          render_playback)
         p = {k: jnp.asarray(v) for k, v in pt.items()}
         act = activated(p)
-        ent = self._pb.get(t)
+        ent = self._pb.pop(t, None)  # pop + re-insert = move-to-end, so
+        # dict order is true LRU (a plain get would leave a refreshed or
+        # hit entry stranded at the front and make eviction FIFO)
         cam_c = np.asarray(cam.cam_center)
         if (ent is None or ent["age"] >= self.resort_every
                 or np.linalg.norm(cam_c - ent["center"])
@@ -141,15 +143,13 @@ class CheckpointSource:
                                 act["scales"], act["rotations"],
                                 config=self.config)
             ent = {"cache": cache, "center": cam_c, "age": 0}
-            self._pb[t] = ent
-            # bounded LRU: a cache pins ~K*N int32 of device memory per
-            # timestep (~3 MB at 200k gaussians); a 150-timestep scrub
-            # would otherwise pin hundreds of MB (advisor r3). Keep the
-            # few most recently used timesteps.
-            while len(self._pb) > 4:
-                # dict preserves insertion order; re-inserting on refresh
-                # keeps the active timestep newest
-                self._pb.pop(next(iter(k for k in self._pb if k != t)))
+        self._pb[t] = ent
+        # bounded LRU: a cache pins ~K*N int32 of device memory per
+        # timestep (~3 MB at 200k gaussians); a 150-timestep scrub would
+        # otherwise pin hundreds of MB (advisor r3). Keep the few most
+        # recently used timesteps.
+        while len(self._pb) > 4:
+            self._pb.pop(next(iter(k for k in self._pb if k != t)))
         ent["age"] += 1
         return render_playback(cam, act["means3d"], act["colors"],
                                act["opacity"], act["scales"],

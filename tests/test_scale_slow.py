@@ -40,8 +40,8 @@ def test_multistep_10k_densify_pallas():
         dataset, cfg, pt, w2c,
         callbacks={
             "on_step": lambda t, i, m: steps.append(
-                {k: float(v) for k, v in m.items()
-                 if np.ndim(v) == 0}),
+                {"i": i, **{k: float(v) for k, v in m.items()
+                            if np.ndim(v) == 0}}),
             "on_densify": lambda t, i, ds: densifies.append(
                 {"i": i, "alive": int(ds.n_alive),
                  "cloned": int(ds.n_cloned), "split": int(ds.n_split),
@@ -61,11 +61,14 @@ def test_multistep_10k_densify_pallas():
     assert any(d["cloned"] + d["split"] > 0 for d in densifies), densifies
 
     # no capacity or tile-overflow drops on any step; rect drops are
-    # allowed only before the K escalation settles (trainer grows K on
-    # truncation), so the LAST report must be rect-clean too
+    # allowed only while the K escalation settles (trainer grows K on
+    # observed truncation). The last report must be rect-clean UNLESS an
+    # escalation legitimately fired at that very report (the drops it
+    # responded to are recorded in that same step's metrics).
     for s in steps:
         assert s["n_dropped"] - s["n_dropped_rect"] == 0, s
-    assert steps[-1]["n_dropped_rect"] == 0, (steps[-1], grows)
+    if steps[-1]["n_dropped_rect"] != 0:
+        assert grows and grows[-1][0] == steps[-1]["i"], (steps[-1], grows)
 
     # the alive set grew from the subsampled init
     assert int(np.asarray(variables["alive"]).sum()) > 8000

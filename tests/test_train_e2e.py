@@ -111,3 +111,36 @@ def test_scale_single_step_30k():
     alive = np.asarray(variables["alive"])
     d = np.asarray(p2["means3D"] - params["means3D"])
     assert np.abs(d[~alive]).max() == 0.0
+
+
+def test_rect_cap_escalation_grows_k_and_pair_budget(small_world):
+    """K escalation (trainer loop): rect truncation on ANY step since the
+    last report must double max_tiles_per_gaussian AND grow the tiled-path
+    pair budget with it (pairs_per_gaussian), else the CPU oracle would
+    shift truncation from counted rect drops to capacity drops instead of
+    eliminating it. pairs_budget_cap pins the budget (disclosed bound)."""
+    from dynamic3dgaussians_tpu.train.trainer import train as train_loop
+
+    scene, dataset, w2c, cams, pt = small_world
+    rs = RasterSettings(chunk=64, max_per_tile=512,
+                        max_tiles_per_gaussian=1, pairs_per_gaussian=1)
+    grows = []
+    cfg = TrainConfig(num_timesteps=1, iters_first_timestep=6,
+                      densify_start=10 ** 9, raster=rs, capacity=1024,
+                      report_every=2)
+    train_loop(dataset, cfg, pt, w2c,
+               callbacks={"on_grow_tiles":
+                          lambda t, i, k: grows.append((i, k))})
+    assert grows, "K=1 on this splat-heavy scene must truncate + escalate"
+    ks = [k for _, k in grows]
+    assert ks == sorted(ks) and ks[0] == 2
+
+    # pinned budget: escalation respects pairs_budget_cap
+    grows2 = []
+    cfg2 = TrainConfig(num_timesteps=1, iters_first_timestep=6,
+                       densify_start=10 ** 9, raster=rs, capacity=1024,
+                       report_every=2, pairs_budget_cap=2)
+    train_loop(dataset, cfg2, pt, w2c,
+               callbacks={"on_grow_tiles":
+                          lambda t, i, k: grows2.append((i, k))})
+    assert grows2

@@ -1,46 +1,7 @@
 #!/bin/bash
-# Round-4 CPU evidence queue (VERDICT r4 items 3 & 4 + the r2-item-4 A/B):
-#   1. config-2 mechanism run to COMPLETION (1200 iters, growth >=150k)
-#   2. config-3 dynamic-sequence CPU artifact (10 timesteps, 50k)
-#   3. K-escalation vs fixed-K=64 A/B PSNR trajectories
-# Sequential (one CPU core); each step flushes incrementally and is
-# committed before the next starts.
-cd /root/repo
-export PYTHONPATH=/root/repo
-export JAX_PLATFORMS=cpu
-export PALLAS_AXON_POOL_IPS=
-LOG=artifacts/cpu_queue_r4.log
-
-commit() {
-  for i in 1 2 3; do
-    git add artifacts/ 2>>"$LOG"
-    if git commit -m "$1" >>"$LOG" 2>&1; then return 0; fi
-    sleep 15
-  done
-  echo "commit failed: $1" >>"$LOG"
-}
-
-echo "cpu queue start $(date)" | tee -a "$LOG"
-
-echo "== 1. config-2 mechanism run to completion ==" | tee -a "$LOG"
-python -u tools/scale_run.py --n 30000 --gt_mult 8 --hw 128 --cams 6 \
-  --iters 1200 --densify_every 50 --densify_end 600 --report 25 \
-  --out artifacts/scale_mech_cpu.json >> "$LOG" 2>&1 || true
-commit "Complete the config-2 CPU mechanism run (1200 iters, capacity growth)"
-
-echo "== 2. config-3 dynamic run (CPU) ==" | tee -a "$LOG"
-python -u tools/dynamic_run.py --n 50000 --timesteps 10 --iters0 200 \
-  --iters 80 --hw 128 --cams 4 --out artifacts/dynamic_run_cpu.json \
-  >> "$LOG" 2>&1 || true
-commit "Add config-3 dynamic-sequence CPU artifact (10 timesteps, 50k)"
-
-echo "== 3. K-escalation A/B ==" | tee -a "$LOG"
-python -u tools/scale_run.py --n 30000 --gt_mult 8 --hw 128 --cams 6 \
-  --iters 400 --densify_every 50 --report 25 --k_cap 16 \
-  --out artifacts/kcap_ab_escalating.json >> "$LOG" 2>&1 || true
-python -u tools/scale_run.py --n 30000 --gt_mult 8 --hw 128 --cams 6 \
-  --iters 400 --densify_every 50 --report 25 --k_cap 64 \
-  --out artifacts/kcap_ab_fixed64.json >> "$LOG" 2>&1 || true
-commit "Add K-escalation vs fixed-K=64 A/B PSNR trajectories at 30k scale"
-
-echo "CPU QUEUE DONE $(date)" | tee -a "$LOG"
+# SUPERSEDED by tools/cpu_queue_r4b.sh (denser densify cadence so the
+# config-2 mechanism run clears 150k alive). This stub exists so a stale
+# launcher cannot clobber the revision's artifacts with the known-short
+# schedule.
+echo "cpu_queue_r4.sh is superseded — run tools/cpu_queue_r4b.sh" >&2
+exit 1

@@ -67,6 +67,9 @@ def main():
         densify_start=100, densify_every=100,
         densify_end=min(args.iters0, 5000),
         grow_capacity=True, report_every=100,
+        # bound the CPU oracle's sort length under K escalation (pallas
+        # emission ignores this; on TPU the budget tracks K exactly)
+        pairs_budget_cap=(16 if backend == "cpu" else 0),
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
                               max_tiles_per_gaussian=args.k_cap,
                               pack_records=True))

@@ -120,10 +120,10 @@ def main():
     names = sys.argv[1:] or list(SHIPPING_CONFIGS)
     base_renders = {}  # fixture path -> (out, grads) from the base config
     failed = 0
-    # base first: it anchors the pack-config comparisons
-    if "base" not in names and any(
-            SHIPPING_CONFIGS[n].get("pack_records") for n in names):
-        names = ["base"] + names
+    # base FIRST, always (even when listed later on the CLI): it anchors
+    # the pack-config comparisons
+    if any(SHIPPING_CONFIGS[n].get("pack_records") for n in names):
+        names = ["base"] + [n for n in names if n != "base"]
     for cname in names:
         overrides = SHIPPING_CONFIGS[cname]
         packed = overrides.get("pack_records", False)
@@ -135,8 +135,6 @@ def main():
                     cname=cname):
                 out, grads = _render_both(fx, "pallas",
                                           cfg_overrides=overrides)
-                if cname == "base":
-                    base_renders[path] = (out, grads)
                 if packed:
                     if path not in base_renders:
                         raise RuntimeError("base render unavailable "
@@ -144,6 +142,11 @@ def main():
                     _check_vs_base(base_renders[path], (out, grads))
                 else:
                     _check(fx, out, grads, **EXACT_TOL)
+                if cname == "base":
+                    # anchor ONLY a fixture-verified base render: a base
+                    # that failed its own gate must not silently validate
+                    # the pack configs against a shared miscompile
+                    base_renders[path] = (out, grads)
 
             status, msg = _timed(f"{cname}/{fname}", one)
             print(f"{status} [{cname}] {fname}"

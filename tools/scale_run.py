@@ -48,6 +48,12 @@ def main():
     # at the grown scale instead of unbounded growth
     ap.add_argument("--densify_end", type=int, default=0)
     ap.add_argument("--k_cap", type=int, default=16)
+    # tiled-path pair budget (pairs_per_gaussian). 0 = track K as it
+    # escalates (semantically correct: the pallas emission capacity IS
+    # K*N). A pinned value keeps the CPU oracle's sort length bounded for
+    # long mechanism runs — pinning is a disclosed approximation: pairs
+    # beyond budget*N are dropped and counted, never silent.
+    ap.add_argument("--pairs_cap", type=int, default=0)
     ap.add_argument("--max_per_tile", type=int, default=2048)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -89,7 +95,8 @@ def main():
         grow_capacity=True,
         raster=RasterSettings(tile_h=16, tile_w=16, chunk=128,
                               max_tiles_per_gaussian=args.k_cap,
-                              pairs_per_gaussian=args.k_cap,
+                              pairs_per_gaussian=(args.pairs_cap
+                                                  or args.k_cap),
                               max_per_tile=args.max_per_tile,
                               pack_records=True))
     rcfg = raster_config(cfg)
@@ -169,8 +176,13 @@ def main():
             if nd_rect > 0 and cfg.raster.max_tiles_per_gaussian < 64:
                 import dataclasses as _dc
                 new_k = min(cfg.raster.max_tiles_per_gaussian * 2, 64)
+                # pair budget tracks K unless pinned (--pairs_cap)
+                new_pairs = (min(args.pairs_cap, new_k) if args.pairs_cap
+                             else new_k)
+                new_pairs = max(new_pairs, cfg.raster.pairs_per_gaussian)
                 cfg = _dc.replace(cfg, raster=_dc.replace(
-                    cfg.raster, max_tiles_per_gaussian=new_k))
+                    cfg.raster, max_tiles_per_gaussian=new_k,
+                    pairs_per_gaussian=new_pairs))
                 rcfg = raster_config(cfg)
                 step = make_train_step(cfg, rcfg)
                 log["grow_tiles"].append({"i": i, "k": new_k,
