@@ -15,6 +15,7 @@ identical to the reference's row-vector/transposed-storage pipeline
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,11 +74,18 @@ def make_camera(w: int, h: int, k, w2c, near: float = 0.01,
     w2c = jnp.asarray(w2c, jnp.float32)
     fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
     proj = opengl_projection(fx, fy, cx, cy, w, h, near, far)
-    c2w = jnp.linalg.inv(w2c)
+    # HIGHEST: at DEFAULT precision the TPU MXU computes these 4x4 products
+    # in bf16, perturbing full_proj by ~2^-8 relative — which shifts every
+    # projected splat center a fraction of a pixel and moved whole renders
+    # ~4e-2 off the frozen CPU fixtures (round-4 gate FAIL, feature_field).
+    # Camera setup is a handful of FLOPs once per frame; exactness is free.
+    with jax.default_matmul_precision("highest"):
+        c2w = jnp.linalg.inv(w2c)
+        full_proj = proj @ w2c
     return Camera(
         w2c=w2c,
         proj=proj,
-        full_proj=proj @ w2c,
+        full_proj=full_proj,
         cam_center=c2w[:3, 3],
         fx=fx, fy=fy, cx=cx, cy=cy,
         height=int(h), width=int(w), near=float(near), far=float(far),
