@@ -37,6 +37,13 @@ image delta at the benchmarked resort interval).
 
 Inference-only: no custom_vjp (training always re-sorts — gradients need
 exact emission).
+
+Batching caveat (compiled TPU): `jax.vmap(render_playback)` over cameras
+with a SHARED cache does not lower — the batched record table reaches the
+pallas kernel in memory-space ANY with a non-trivial index map, which
+Mosaic rejects. Render cached frames sequentially (the kernel saturates
+the chip per frame anyway), or vmap `build_cache` too so every operand
+carries the batch axis.
 """
 
 from __future__ import annotations
