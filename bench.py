@@ -126,11 +126,11 @@ def main():
         # scene's ~2.5 px splats mostly pass 1-2 tiles — halves the pair
         # sort vs K=4 IF lossless (the drop check below disqualifies it
         # the moment n_dropped_rect > 0, so it can never go lossy).
-        ("fast_k3", RasterConfig(tile_h=16, tile_w=16, chunk=256,
-                                 max_tiles_per_gaussian=3,
-                                 power_impl="mxu",
-                                 scan_impl="matmul_block128",
-                                 pack_records=True)),
+        # K=3 was probed on hardware (artifacts/k3_probe_r4.log): 7.96 ms
+        # (125.6 fps) but 22,408 rect drops at this scene — lossy, so not
+        # a candidate. K=4 is the minimal exact emission here; K=2 below
+        # stays as the canary that the drop check keeps the headline
+        # honest if the scene statistics ever change.
         ("fast_k2", RasterConfig(tile_h=16, tile_w=16, chunk=256,
                                  max_tiles_per_gaussian=2,
                                  power_impl="mxu",
