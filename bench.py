@@ -79,6 +79,88 @@ def timed_phase(name, fn, *args, **kw):
     return box.get("out")
 
 
+def playback_diagnostics(jax, jnp, args, cam, cfg, result, emit, w, h, f):
+    """Cached-order playback diagnostics (opt-in; measured 7x SLOWER than
+    exact rendering on TPU and its staleness gate fails at the bench scene
+    — see ops/playback.py and PROFILE.md). Never touches `value`.
+
+    The batched-playback (vmap x4) probe was REMOVED (r5):
+    vmap(render_playback) with a SHARED cache does not lower on compiled
+    Mosaic (the batched record table lands in memory-space ANY with a
+    non-trivial index map — ops/playback.py docstring), so on TPU it could
+    only burn its phase budget on a guaranteed compile error."""
+    from dynamic3dgaussians_tpu.ops.camera import make_camera
+    from dynamic3dgaussians_tpu.ops.playback import (build_cache,
+                                                     render_playback)
+    from dynamic3dgaussians_tpu.ops.rasterize import render
+
+    @jax.jit
+    def keyframe(s):
+        return build_cache(cam, args[0] + s, args[2], args[3], args[4],
+                           config=cfg)
+
+    @jax.jit
+    def cached_frame(s, cache):
+        return render_playback(cam, args[0] + s, args[1], args[2], args[3],
+                               args[4], cache, config=cfg).rgb
+
+    def playback_phase():
+        cache = jax.block_until_ready(keyframe(np.float32(0.0)))
+        ms_frame = pipelined_ms(lambda s: cached_frame(s, cache))
+        ms_key = pipelined_ms(keyframe, iters=10)
+        return ms_frame, ms_key
+
+    # image-delta gate (computed IN the bench, on the bench scene): the
+    # worst-staleness frame of a resort-every-m loop is frame m-1 rendered
+    # through the frame-0 cache. Compare it against the exact render of
+    # the same frame; playback fps is reported at the LARGEST resort
+    # interval whose max per-pixel delta stays under one 8-bit quantum
+    # (none if even m=2 fails).
+    @jax.jit
+    def _stale_delta(camk, cache):
+        pb = render_playback(camk, args[0], args[1], args[2], args[3],
+                             args[4], cache, config=cfg).rgb
+        ex = render(camk, args[0], args[1], args[2], args[3], args[4],
+                    config=cfg, method="pallas").rgb
+        return jnp.max(jnp.abs(pb - ex)) * 255.0
+
+    def cam_at(frames):
+        w2ck = np.eye(4, dtype=np.float32)
+        w2ck[2, 3] = 6.0
+        w2ck[0, 3] = 0.01 * frames  # interactive orbit step/frame
+        return make_camera(w, h,
+                           [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2ck)
+
+    def delta_gate():
+        # ONE frame-0 cache (reuses the already-jitted keyframe program)
+        # serves all three staleness probes
+        cache = jax.block_until_ready(keyframe(np.float32(0.0)))
+        return {m: float(jax.block_until_ready(
+            _stale_delta(cam_at(m - 1), cache))) for m in (8, 4, 2)}
+
+    out = timed_phase("playback", playback_phase)
+    if out is None:
+        return
+    ms_frame, ms_key = out
+    deltas = timed_phase("playback_delta_gate", delta_gate)
+    m_ok = None
+    if deltas is not None:
+        result["playback_max_delta_8bit"] = {
+            str(m): round(d, 4) for m, d in deltas.items()}
+        for m in (8, 4, 2):
+            if deltas[m] < 1.0:
+                m_ok = m
+                break
+    result["playback_gate_pass"] = m_ok is not None
+    result["playback_frame_ms"] = round(ms_frame, 3)
+    result["playback_key_ms"] = round(ms_key, 3)
+    if m_ok is not None:
+        result["playback_resort_every"] = m_ok
+        result["playback_fps"] = round(
+            1e3 / (ms_frame + ms_key / m_ok), 2)
+    emit(result)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -213,107 +295,16 @@ def main():
     })
     emit(result)
 
-    # ---- playback fps: the reference's own 800-FPS quantity is its
-    # visualizer loop over a trained scene (visualize_org.py:46-65); ours
-    # is the cached-order playback path (ops/playback.py) — key frame
-    # re-sorts, cached frames render through the frozen order. Reported as
-    # the amortized resort-every-8 loop plus both components.
-    from dynamic3dgaussians_tpu.ops.playback import (build_cache,
-                                                     render_playback)
-
-    @jax.jit
-    def keyframe(s):
-        return build_cache(cam, args[0] + s, args[2], args[3], args[4],
-                           config=cfg)
-
-    @jax.jit
-    def cached_frame(s, cache):
-        return render_playback(cam, args[0] + s, args[1], args[2], args[3],
-                               args[4], cache, config=cfg).rgb
-
-    def playback_phase():
-        cache = jax.block_until_ready(keyframe(np.float32(0.0)))
-        ms_frame = pipelined_ms(lambda s: cached_frame(s, cache))
-        ms_key = pipelined_ms(keyframe, iters=10)
-        return ms_frame, ms_key
-
-    # image-delta gate (computed IN the bench, on the bench scene): the
-    # worst-staleness frame of a resort-every-m loop is frame m-1 rendered
-    # through the frame-0 cache. Compare it against the exact render of
-    # the same frame; playback fps is reported at the LARGEST resort
-    # interval whose max per-pixel delta stays under one 8-bit quantum
-    # (none if even m=2 fails). `value` is never touched.
-    @jax.jit
-    def _stale_delta(camk, cache):
-        pb = render_playback(camk, args[0], args[1], args[2], args[3],
-                             args[4], cache, config=cfg).rgb
-        ex = render(camk, args[0], args[1], args[2], args[3], args[4],
-                    config=cfg, method="pallas").rgb
-        return jnp.max(jnp.abs(pb - ex)) * 255.0
-
-    def cam_at(frames):
-        w2ck = np.eye(4, dtype=np.float32)
-        w2ck[2, 3] = 6.0
-        w2ck[0, 3] = 0.01 * frames  # interactive orbit step/frame
-        return make_camera(w, h,
-                           [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], w2ck)
-
-    def delta_gate():
-        # ONE frame-0 cache (reuses the already-jitted keyframe program)
-        # serves all three staleness probes
-        cache = jax.block_until_ready(keyframe(np.float32(0.0)))
-        return {m: float(jax.block_until_ready(
-            _stale_delta(cam_at(m - 1), cache))) for m in (8, 4, 2)}
-
-    out = timed_phase("playback", playback_phase)
-    if out is not None:
-        ms_frame, ms_key = out
-        deltas = timed_phase("playback_delta_gate", delta_gate)
-        m_ok = None
-        if deltas is not None:
-            result["playback_max_delta_8bit"] = {
-                str(m): round(d, 4) for m, d in deltas.items()}
-            for m in (8, 4, 2):
-                if deltas[m] < 1.0:
-                    m_ok = m
-                    break
-        result["playback_gate_pass"] = m_ok is not None
-        result["playback_frame_ms"] = round(ms_frame, 3)
-        result["playback_key_ms"] = round(ms_key, 3)
-        if m_ok is not None:
-            result["playback_resort_every"] = m_ok
-            result["playback_fps"] = round(
-                1e3 / (ms_frame + ms_key / m_ok), 2)
-        emit(result)
-
-        # batched playback: 4 cached orbit frames per dispatch — the
-        # max-throughput form of the reference's visualizer loop. Only
-        # priced when the staleness gate passed: it can never headline
-        # otherwise, and vmap(render_playback) with a SHARED cache does
-        # not lower on compiled Mosaic (the batched record table lands in
-        # memory-space ANY with a non-trivial index map), so a gated-out
-        # run would spend its phase budget on a guaranteed compile error.
-        if m_ok is not None:
-            from tools.bench_common import orbit4_cameras
-            bc4 = orbit4_cameras(w, h, f)
-
-            @jax.jit
-            def frames4(s, cache):
-                return jax.vmap(lambda c: render_playback(
-                    c, args[0] + s, args[1], args[2], args[3], args[4],
-                    cache, config=cfg).rgb)(bc4)
-
-            def batch_phase():
-                cache = jax.block_until_ready(keyframe(np.float32(0.0)))
-                return pipelined_ms(lambda s: frames4(s, cache), iters=15)
-
-            b4 = timed_phase("playback_batch4", batch_phase)
-            if b4 is not None:
-                ms_b4 = b4 / 4.0
-                result["playback_batch4_frame_ms"] = round(ms_b4, 3)
-                result["playback_batch4_fps"] = round(
-                    1e3 / (ms_b4 + ms_key / m_ok), 2)
-                emit(result)
+    # ---- playback fps (OPT-IN: D3G_BENCH_PLAYBACK=1) ----
+    # The reference's own 800-FPS quantity is its visualizer loop over a
+    # trained scene (visualize_org.py:46-65); ours is the cached-order
+    # playback path (ops/playback.py) — key frame re-sorts, cached frames
+    # render through the frozen order. On TPU this measured a 7x LOSS vs
+    # just rendering exactly (60 ms/frame, r4) and its staleness gate
+    # fails at the bench scene, so it is diagnostics-only and kept OUT of
+    # the driver-facing JSON by default (VERDICT r4 item 7).
+    if os.environ.get("D3G_BENCH_PLAYBACK"):
+        playback_diagnostics(jax, jnp, args, cam, cfg, result, emit, w, h, f)
 
     # ---- forward + full backward (the grad-kernel metric) ----
     @jax.jit

@@ -36,10 +36,12 @@ print("depth err max:", np.abs(np.asarray(out.depth) - fx["depth"]).max())
 if out.extra is not None:
     print("extra err max:", np.abs(np.asarray(out.extra) - fx["extra"]).max())
 
-# spatial structure: max error per 16x16 tile
+# spatial structure: max error per 16x16 tile (crop to multiples of 16 so
+# a non-divisible fixture can't abort the diagnostic before the A/B below)
 h, w = err.shape[:2]
-em = err.max(axis=2)
-tiles = em.reshape(h // 16, 16, w // 16, 16).max(axis=(1, 3))
+em = err.max(axis=2)[: h - h % 16, : w - w % 16]
+tiles = em.reshape(em.shape[0] // 16, 16, em.shape[1] // 16, 16).max(
+    axis=(1, 3))
 print("per-tile max err:")
 for r in tiles:
     print(" ".join(f"{v:8.1e}" for v in r))
