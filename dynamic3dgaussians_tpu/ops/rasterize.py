@@ -63,7 +63,10 @@ class RasterConfig:
     # the f32 depth payload row and reads bucket-center depth back out of the
     # key (~2^-13 relative on a 920-tile grid; ordering ties quantize the
     # same way the reference's truncated-bit radix sort would). depth_mode
-    # "exact" keeps bit-exact depth values at one extra sorted row.
+    # "exact" keeps bit-exact depth values at one extra sorted row (sub-
+    # bucket ties still break arbitrarily); "total" additionally makes that
+    # row a SECONDARY sort key — the CUDA reference's total front-to-back
+    # order (full float-bit keys, rasterizer_impl.cu:102-104).
     fused_key: bool = flax.struct.field(pytree_node=False, default=True)
     depth_mode: str = flax.struct.field(pytree_node=False,
                                         default="quantized")

@@ -141,7 +141,8 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     precision: str = "highest", power_impl: str = "vpu",
                     scan_impl: str = "matmul_split3",
                     pack_records: bool = False,
-                    unsort_impl: str = "sort"):
+                    unsort_impl: str = "sort",
+                    total_order: bool = False):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -201,8 +202,19 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                 sd = dequantize_depth_key(sk, bits_z)
                 payload = s[1 + len(pos_t):]
             else:
+                # depth_mode "exact": exact depth VALUES ride as payload but
+                # sub-bucket ties still break arbitrarily (num_keys=1).
+                # depth_mode "total": the f32 depth is a SECONDARY sort key,
+                # giving the CUDA reference's total front-to-back order
+                # (rasterizer_impl.cu:102-104 keys on the full float bits) —
+                # the fused key's zq is depth-monotone, so (key, depth) is
+                # plain depth order within each tile. This closes the
+                # cull-on/off tie-reordering deviation (VERDICT r4 item 2:
+                # two valid orderings of same-bucket ties differed by up to
+                # 0.18 RGB at the bench scene).
                 arrays = (key, depth) + pos_t + rows_payload
-                s = lax.sort(arrays, num_keys=1, is_stable=False)
+                s = lax.sort(arrays, num_keys=2 if total_order else 1,
+                             is_stable=False)
                 sk, sd = s[0], s[1]
                 spos = s[2] if with_pos else None
                 payload = s[2 + len(pos_t):]
@@ -366,7 +378,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                                 n_chan, bits_z,
                                 bits_z > 0 and depth_mode == "quantized",
                                 precision, power_impl, scan_impl,
-                                pack_records, unsort_impl)
+                                pack_records, unsort_impl,
+                                total_order=depth_mode == "total")
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]

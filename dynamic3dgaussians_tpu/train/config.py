@@ -87,6 +87,12 @@ class TrainConfig:
     report_every: int = 100
     # parallelism: number of cameras batched per step (data-parallel axis)
     cams_per_step: int = 1
+    # On-device multi-step window: lax.scan this many train steps per
+    # dispatch (trainer.make_train_scan). 1 = host-dispatched per-step loop.
+    # Amortizes per-call relay/dispatch latency (~100 ms on the axon
+    # tunnel) across the window; pick a divisor of report_every so windows
+    # tile the gaps between host actions exactly (VERDICT r4 item 3).
+    steps_per_call: int = 1
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

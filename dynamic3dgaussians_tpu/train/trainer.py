@@ -150,12 +150,8 @@ def make_train_step(cfg: TrainConfig, rcfg: RasterConfig):
                "n_dropped_rect": jnp.sum(auxs["n_dropped_rect"])}
         return jnp.mean(losses), aux
 
-    # NOTE: no donate_argnums — params/moments are small next to the
-    # rendering activations, and donation deletes caller-held buffers
-    # (checkpoint saves are async; users naturally reuse params).
-    @functools.partial(jax.jit, static_argnames=("is_initial",))
-    def train_step(params, opt_state, variables, batch, lrs,
-                   is_initial: bool):
+    def step_core(params, opt_state, variables, batch, lrs,
+                  is_initial: bool):
         probe = jnp.zeros((variables["alive"].shape[0], 2), jnp.float32)
         (loss, aux), (gp, gprobe) = jax.value_and_grad(
             batched_loss, argnums=(0, 1), has_aux=True)(
@@ -175,7 +171,62 @@ def make_train_step(cfg: TrainConfig, rcfg: RasterConfig):
                        f"loss_{k}": v for k, v in aux["losses"].items()}}
         return new_params, new_opt, new_vars, metrics
 
+    # NOTE: no donate_argnums — params/moments are small next to the
+    # rendering activations, and donation deletes caller-held buffers
+    # (checkpoint saves are async; users naturally reuse params).
+    train_step = functools.partial(jax.jit, static_argnames=(
+        "is_initial",))(step_core)
+    train_step._step_core = step_core  # reused by make_train_scan
     return train_step
+
+
+def make_train_scan(cfg: TrainConfig, rcfg: RasterConfig,
+                    train_step=None):
+    """Build the ON-DEVICE multi-step window: lax.scan over K train steps.
+
+    VERDICT r4 item 3: the reference's ~50 it/s is its *loop* rate
+    (train_beffor.py's tqdm), but a host-dispatched per-step loop through
+    the axon relay pays ~100+ ms of per-call latency — 8x the 21 ms step.
+    Scanning K steps inside ONE jitted program amortizes dispatch to
+    <1 ms/step: the camera data for the whole timestep lives on device
+    (`data_stack`, stacked over cameras) and each scan step gathers its
+    camera batch by index, so the host touches nothing between windows.
+
+    Args/returns of the jitted callable:
+      (params, opt_state, variables, data_stack, cam_sel, lrs, is_initial)
+        -> (params, opt_state, variables, metrics)
+      cam_sel: (n_steps,) or (n_steps, k_cams) int32 camera indices into
+        data_stack's leading axis. Distinct n_steps values compile
+        distinct programs — callers should use a fixed window size.
+      metrics: last-step values, except n_dropped/n_dropped_rect which are
+        SUMS over the window (the trainer's K-escalation check must see a
+        drop on ANY step, not just the last).
+    """
+    core = (train_step or make_train_step(cfg, rcfg))._step_core
+
+    @functools.partial(jax.jit, static_argnames=("is_initial",))
+    def train_scan(params, opt_state, variables, data_stack, cam_sel, lrs,
+                   is_initial: bool):
+        def body(carry, sel):
+            p, o, v = carry
+            batch = jax.tree.map(lambda x: x[sel], data_stack)
+            p, o, v, m = core(p, o, v, batch, lrs, is_initial)
+            return (p, o, v), m
+
+        (p, o, v), ms = jax.lax.scan(body, (params, opt_state, variables),
+                                     cam_sel)
+        metrics = {k: (jnp.sum(v) if k in ("n_dropped", "n_dropped_rect")
+                       else v[-1]) for k, v in ms.items()}
+        return p, o, v, metrics
+
+    return train_scan
+
+
+def stack_timestep_data(data_t: List[Dict]):
+    """Stack one timestep's camera datapoints into a device-resident pytree
+    (leading axis = camera) for make_train_scan's indexed gathers."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *data_t)
 
 
 def initialize_per_timestep(params: Dict, variables: Dict,
@@ -349,24 +400,75 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
         # (advisor r3: sampling only the report step can hide intermittent
         # K-cap overflow indefinitely)
         rect_drop_accum = jnp.int32(0)
-        for i in range(start_i, num_iters):
-            # random camera(s) without replacement (reference get_batch);
-            # cams_per_step > 1 stacks a camera batch (vmapped in the step)
-            picks = []
-            for _ in range(k_cams):
-                if not todo:
-                    todo = list(rng.permutation(len(data_t)))
-                picks.append(data_t[todo.pop()])
-            if k_cams == 1:
-                batch = picks[0]
+
+        # On-device multi-step windows (steps_per_call > 1): scan exactly
+        # `scan_w` steps per dispatch wherever no host action (densify,
+        # opacity reset, report, checkpoint) falls strictly inside the
+        # window; single steps cover boundaries and remainders. Amortizes
+        # per-dispatch relay latency (VERDICT r4 item 3).
+        scan_w = max(1, int(cfg.steps_per_call))
+        use_scan = scan_w > 1 and len(data_t) > 0
+        if use_scan:
+            train_scan = make_train_scan(cfg, rcfg, train_step)
+            data_stack = stack_timestep_data(data_t)
+
+        def pick_cams(n_steps):
+            """(n_steps, k_cams) indices from the without-replacement
+            permutation stream (reference get_batch semantics)."""
+            nonlocal todo
+            rows = []
+            for _ in range(n_steps):
+                row = []
+                for _ in range(k_cams):
+                    if not todo:
+                        todo = list(rng.permutation(len(data_t)))
+                    row.append(int(todo.pop()))
+                rows.append(row)
+            return np.asarray(rows, np.int32)
+
+        def next_mult(x, m):
+            return ((x + m - 1) // m) * m
+
+        def next_host_action(i):
+            """Smallest step index >= i after which the host must act."""
+            a = [num_iters - 1, next_mult(i, cfg.report_every)]
+            if is_initial and i <= cfg.densify_end:
+                d = next_mult(max(i, cfg.densify_start), cfg.densify_every)
+                if d <= cfg.densify_end:
+                    a.append(d)
+                a.append(next_mult(max(i, 1), cfg.opacity_reset_every))
+            if ckpt_mgr and checkpoint_every:
+                a.append(i + (-(global_step + 1)) % checkpoint_every)
+            return min(x for x in a if x >= i)
+
+        i = start_i
+        while i < num_iters:
+            span = next_host_action(i) - i + 1
+            if use_scan and span >= scan_w:
+                sel = pick_cams(scan_w)
+                sel_dev = jnp.asarray(sel[:, 0] if k_cams == 1 else sel)
+                params, opt_state, variables, metrics = train_scan(
+                    params, opt_state, variables, data_stack, sel_dev,
+                    lrs, is_initial)
+                steps_done = scan_w
             else:
-                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *picks)
-            params, opt_state, variables, metrics = train_step(
-                params, opt_state, variables, batch, lrs, is_initial)
+                # random camera(s) without replacement (reference
+                # get_batch); cams_per_step > 1 stacks a camera batch
+                # (vmapped in the step)
+                picks = [data_t[c] for c in pick_cams(1)[0]]
+                if k_cams == 1:
+                    batch = picks[0]
+                else:
+                    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *picks)
+                params, opt_state, variables, metrics = train_step(
+                    params, opt_state, variables, batch, lrs, is_initial)
+                steps_done = 1
             if cfg.grow_tiles and "n_dropped_rect" in metrics:
+                # scan windows return the SUM over their steps
                 rect_drop_accum = rect_drop_accum + jnp.asarray(
                     metrics["n_dropped_rect"], jnp.int32)
-            global_step += 1
+            global_step += steps_done
+            i = i + steps_done - 1  # index of the last executed step
             if ckpt_mgr and checkpoint_every and \
                     global_step % checkpoint_every == 0:
                 ckpt_mgr.save(global_step, params, opt_state, variables,
@@ -410,11 +512,14 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
                         pairs_per_gaussian=new_pairs))
                     rcfg = raster_config(cfg)
                     train_step = make_train_step(cfg, rcfg)
+                    if use_scan:
+                        train_scan = make_train_scan(cfg, rcfg, train_step)
                     if "on_grow_tiles" in callbacks:
                         callbacks["on_grow_tiles"](t, i, new_k)
                 rect_drop_accum = jnp.int32(0)
                 if "on_step" in callbacks:
                     callbacks["on_step"](t, i, metrics)
+            i += 1
 
         if is_initial:
             # Repack alive slots to the front so the neighbor graph and the
