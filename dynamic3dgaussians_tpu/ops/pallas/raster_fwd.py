@@ -235,59 +235,74 @@ def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
 
 def _kernel(starts_ref, counts_ref, rec_hbm,
             out_ref, logt_ref, nact_ref,
-            rec_vmem, logt_scr, acc_scr, sems,
+            rec_vmem, head_vmem, logt_scr, acc_scr, sems, head_sems,
             *, chunk, tile_h, tile_w, grid_w, n_val, mxu_prec, interpret,
-            scan_impl, power_impl):
-    i = pl.program_id(0)
-    start = starts_ref[i]
-    count = counts_ref[i]
-    base = pl.multiple_of((start // chunk) * chunk, chunk)
-    shift = start - base
-    # empty tiles contribute nothing even when unaligned (shift > 0 would
-    # otherwise schedule one fully-masked chunk) — skip them outright
-    n_chunks = jnp.where(count == 0, 0,
-                         (shift + count + chunk - 1) // chunk)
+            scan_impl, power_impl, tile_batch):
+    """Process `tile_batch` tiles per grid step.
+
+    Probe r5 #1 (artifacts/r5_probe.log) measured ~2 us of fixed cost per
+    GRID STEP (grid bookkeeping + the serialized first-chunk DMA stall per
+    tile; chunk count and block sizes were near-neutral). Two structural
+    counters, both here:
+      * tile_batch > 1 amortizes the per-step overhead T-fold,
+      * every tile's FIRST chunk is DMA'd into a dedicated head slot AT THE
+        TOP of the step — by the time tile j's walk starts, its head DMA
+        has been in flight for j whole tile walks, hiding the HBM latency
+        the old per-tile cold start paid 920 times per frame.
+    """
+    step = pl.program_id(0)
     p = tile_h * tile_w
-    px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
-    if power_impl == "mxu":
-        tile_ox = (i % grid_w).astype(jnp.float32) * tile_w
-        tile_oy = (i // grid_w).astype(jnp.float32) * tile_h
-        feats16 = tile_pixel_feats(px, py, tile_ox, tile_oy, p)
 
-    logt_scr[:] = jnp.zeros((p, 1), jnp.float32)
-    acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
-    nact_ref[0] = jnp.zeros((1, 1), jnp.int32)
+    def seg(jt):
+        i = step * tile_batch + jt
+        start = starts_ref[i]
+        count = counts_ref[i]
+        base = pl.multiple_of((start // chunk) * chunk, chunk)
+        shift = start - base
+        # empty tiles contribute nothing even when unaligned (shift > 0
+        # would otherwise schedule one fully-masked chunk) — skip outright
+        n_chunks = jnp.where(count == 0, 0,
+                             (shift + count + chunk - 1) // chunk)
+        return i, base, shift, count, n_chunks
 
-    def get_dma(slot, k):
-        off = pl.multiple_of(base + k * chunk, chunk)
-        return pltpu.make_async_copy(rec_hbm.at[:, pl.ds(off, chunk)],
-                                     rec_vmem.at[slot], sems.at[slot])
+    # ---- issue every tile's head-chunk DMA up front ----
+    for jt in range(tile_batch):
+        _, base, _, _, n_chunks = seg(jt)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        @pl.when(n_chunks > 0)
+        def _(jt=jt, base=base):
+            pltpu.make_async_copy(rec_hbm.at[:, pl.ds(base, chunk)],
+                                  head_vmem.at[jt],
+                                  head_sems.at[jt]).start()
 
-        def cond(k):
-            return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG2_T_DEAD)
+    # ---- sequential per-tile walks ----
+    for jt in range(tile_batch):
+        i, base, shift, count, n_chunks = seg(jt)
+        px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
+        if power_impl == "mxu":
+            tile_ox = (i % grid_w).astype(jnp.float32) * tile_w
+            tile_oy = (i // grid_w).astype(jnp.float32) * tile_h
+            feats16 = tile_pixel_feats(px, py, tile_ox, tile_oy, p)
 
-        def body(k):
-            slot = k % 2
+        logt_scr[:] = jnp.zeros((p, 1), jnp.float32)
+        acc_scr[:] = jnp.zeros((p, n_val), jnp.float32)
+        nact_ref[jt] = jnp.zeros((1, 1), jnp.int32)
 
-            @pl.when(k + 1 < n_chunks)
-            def _():
-                get_dma((k + 1) % 2, k + 1).start()
+        def get_dma(slot, k, base=base):
+            off = pl.multiple_of(base + k * chunk, chunk)
+            return pltpu.make_async_copy(rec_hbm.at[:, pl.ds(off, chunk)],
+                                         rec_vmem.at[slot], sems.at[slot])
 
-            get_dma(slot, k).wait()
-
+        def process(records, k, shift=shift, count=count):
             if power_impl == "mxu":
                 alpha = chunk_alpha_masked_mxu(
-                    rec_vmem[slot, :GEOM_ROWS], feats16, tile_ox, tile_oy,
+                    records[:GEOM_ROWS], feats16, tile_ox, tile_oy,
                     shift - k * chunk, shift + count - k * chunk, chunk)
             else:
                 alpha = chunk_alpha_masked(
-                    rec_vmem[slot, :GEOM_ROWS], px, py, shift - k * chunk,
+                    records[:GEOM_ROWS], px, py, shift - k * chunk,
                     shift + count - k * chunk, chunk)
-            logs = jnp.log2(1.0 - alpha)              # (P, G); 0 for masked
+            logs = jnp.log2(1.0 - alpha)            # (P, G); 0 for masked
             # exclusive prefix along the chunk axis as a VPU scan; the MXU
             # triangular-matmul formulation costs ~an order of magnitude
             # more at f32 precision
@@ -297,39 +312,66 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
             # transmittance kept purely in log2 space: exact under heavy
             # occlusion (no 1-alpha cancellation) and bitwise identical to
             # the backward kernel's reconstruction.
-            tw = jnp.exp2(cum_excl + logt_scr[:])      # (P, G)
+            tw = jnp.exp2(cum_excl + logt_scr[:])    # (P, G)
             w = alpha * tw
             acc_scr[:] += jax.lax.dot_general(
-                w, rec_vmem[slot, GEOM_ROWS:], (((1,), (1,)), ((), ())),
+                w, records[GEOM_ROWS:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=mxu_prec)                    # (P, CV)
+                precision=mxu_prec)                  # (P, CV)
             logt_scr[:] += cum_incl[:, chunk - 1:chunk]
-            return k + 1
 
-        k_stop = jax.lax.while_loop(cond, body, jnp.int32(0))
-        nact_ref[0] = jnp.full((1, 1), k_stop, jnp.int32)
+        @pl.when(n_chunks > 0)
+        def _(jt=jt, n_chunks=n_chunks, get_dma=get_dma, process=process):
+            # chunk 1 prefetch overlaps chunk 0's (head-slot) compute
+            @pl.when(n_chunks > 1)
+            def _():
+                get_dma(1, 1).start()
 
-        # Drain the dangling prefetch on early termination: chunk k_stop's
-        # DMA was started by the last body iteration but never waited; a
-        # leftover semaphore signal would corrupt the next grid step's waits.
-        @pl.when(k_stop < n_chunks)
-        def _():
-            get_dma(k_stop % 2, k_stop).wait()
+            pltpu.make_async_copy(rec_hbm.at[:, pl.ds(base, chunk)],
+                                  head_vmem.at[jt],
+                                  head_sems.at[jt]).wait()
+            process(head_vmem[jt], 0)
 
-    out_ref[0] = acc_scr[:]
-    logt_ref[0] = logt_scr[:]
+            def cond(k):
+                return (k < n_chunks) & (jnp.max(logt_scr[:]) > LOG2_T_DEAD)
+
+            def body(k):
+                slot = k % 2
+
+                @pl.when(k + 1 < n_chunks)
+                def _():
+                    get_dma((k + 1) % 2, k + 1).start()
+
+                get_dma(slot, k).wait()
+                process(rec_vmem[slot], k)
+                return k + 1
+
+            k_stop = jax.lax.while_loop(cond, body, jnp.int32(1))
+            nact_ref[jt] = jnp.full((1, 1), k_stop, jnp.int32)
+
+            # Drain the dangling prefetch on early termination: chunk
+            # k_stop's DMA was started (by the initial chunk-1 prefetch or
+            # the last body iteration) but never waited; a leftover
+            # semaphore signal would corrupt a later wait on that slot.
+            @pl.when(k_stop < n_chunks)
+            def _():
+                get_dma(k_stop % 2, k_stop).wait()
+
+        out_ref[jt] = acc_scr[:]
+        logt_ref[jt] = logt_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "grid_w", "tile_h",
                                              "tile_w", "chunk", "precision",
-                                             "scan_impl", "power_impl"))
+                                             "scan_impl", "power_impl",
+                                             "tile_batch"))
 def pallas_composite_tiles(rec_t: jnp.ndarray,
                            tile_starts: jnp.ndarray,
                            tile_counts: jnp.ndarray, *, num_tiles: int,
                            grid_w: int, tile_h: int, tile_w: int,
                            chunk: int = 128, precision: str = "highest",
                            scan_impl: str = "matmul_split3",
-                           power_impl: str = "vpu"):
+                           power_impl: str = "vpu", tile_batch: int = 1):
     """Run the forward tile kernel.
 
     Args:
@@ -360,36 +402,48 @@ def pallas_composite_tiles(rec_t: jnp.ndarray,
     assert rec_t.shape[1] % chunk == 0
 
     interpret = jax.default_backend() != "tpu"
+    t = max(1, tile_batch)
+    nt_pad = -(-num_tiles // t) * t
+    if nt_pad != num_tiles:
+        # padded tiles carry count == 0 and are skipped by the kernel
+        tile_starts = jnp.pad(tile_starts, (0, nt_pad - num_tiles))
+        tile_counts = jnp.pad(tile_counts, (0, nt_pad - num_tiles))
     kernel = functools.partial(_kernel, chunk=chunk, tile_h=tile_h,
                                tile_w=tile_w, grid_w=grid_w, n_val=n_val,
                                mxu_prec=PRECISIONS[precision],
                                interpret=interpret, scan_impl=scan_impl,
-                               power_impl=power_impl)
+                               power_impl=power_impl, tile_batch=t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(nt_pad // t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
-            pl.BlockSpec((1, p, n_val), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((t, p, n_val), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((t, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((t, 1, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, n_rows, chunk), jnp.float32),
+            pltpu.VMEM((t, n_rows, chunk), jnp.float32),   # head slots
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, n_val), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((t,)),
         ],
     )
     # CPU (tests) runs the TPU-semantics interpreter; real TPU compiles.
-    return pl.pallas_call(
+    out, logt, nact = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, n_val), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, 1, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nt_pad, p, n_val), jnp.float32),
+                   jax.ShapeDtypeStruct((nt_pad, p, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nt_pad, 1, 1), jnp.int32)],
         interpret=interpret,
     )(tile_starts, tile_counts, rec_t)
+    if nt_pad != num_tiles:
+        out, logt, nact = (out[:num_tiles], logt[:num_tiles],
+                           nact[:num_tiles])
+    return out, logt, nact

@@ -101,6 +101,10 @@ class RasterConfig:
     # position) or "gather" (2-row argsort + packed-row gathers; only
     # active with pack_records).
     unsort_impl: str = flax.struct.field(pytree_node=False, default="sort")
+    # Tiles composited per forward-kernel grid step: amortizes the ~2 us
+    # fixed per-step cost and lets every tile's first record chunk be
+    # DMA-prefetched a whole tile walk ahead (raster_fwd._kernel).
+    tile_batch: int = flax.struct.field(pytree_node=False, default=1)
     # XLA "tiled" oracle path only:
     max_per_tile: int = flax.struct.field(pytree_node=False, default=1024)
     pairs_per_gaussian: int = flax.struct.field(pytree_node=False, default=8)
@@ -247,7 +251,7 @@ def _composite_tiles(cam: Camera, proj: Projected, colors, opacity, bg,
             precision=cfg.kernel_precision, exact_cull=cfg.exact_cull,
             enum_cap=cfg.emit_enum_cap, power_impl=cfg.power_impl,
             scan_impl=cfg.scan_impl, pack_records=cfg.pack_records,
-            unsort_impl=cfg.unsort_impl)
+            unsort_impl=cfg.unsort_impl, tile_batch=cfg.tile_batch)
         return {"channels": channels, "depth": depth_img, "alpha": alpha_img,
                 "n_dropped_capacity": zero, "n_dropped_rect": n_dropped_rect,
                 "n_dropped_tile_overflow": zero}

@@ -81,6 +81,52 @@ def dequantize_depth_key(key: jnp.ndarray, bits_z: int) -> jnp.ndarray:
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
+def affine_depth_range(live: jnp.ndarray, depth: jnp.ndarray):
+    """(dmin, inv_width) of the LIVE pairs' depth for affine key fusion."""
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(live, depth, big))
+    dmax = jnp.max(jnp.where(live, depth, -big))
+    inv_width = 1.0 / jnp.maximum(dmax - dmin, jnp.float32(1e-20))
+    return dmin, inv_width
+
+
+def fuse_tile_depth_key_affine(tile_key: jnp.ndarray, depth: jnp.ndarray,
+                               bits_z: int, dmin: jnp.ndarray,
+                               inv_width: jnp.ndarray) -> jnp.ndarray:
+    """Affine fixed-point fused key: tile<<bits_z | round(u * (2^bits_z-1))
+    with u = (depth - dmin)/(dmax - dmin) over the frame's LIVE pairs.
+
+    Spends the key's depth bits LINEARLY over the scene's actual depth
+    range instead of on truncated float bits (fuse_tile_depth_key): tie
+    buckets shrink from ~2^-13 RELATIVE depth to ~2^-21 of the depth RANGE
+    (~256x finer for typical scenes, beyond f32's own mantissa once the
+    range is < 2^-2 of the magnitude). Measured effect (artifacts/
+    r5_probe2.log E2, r5_probe3): same-bucket tie reordering — the r4
+    sweep's 0.18 RGB cull-on/off deviation (VERDICT r4 item 2) — drops to
+    the noise floor, at zero sort cost (a num_keys=2 total-order sort
+    measured +3.1 ms). Monotone: u is affine in depth, f32 multiply and
+    int truncation preserve order. Ties beyond this granularity compose in
+    arbitrary order, exactly like the CUDA radix sort on equal keys
+    (rasterizer_impl.cu:102-104).
+    """
+    u = jnp.clip((depth - dmin) * inv_width, 0.0, 1.0)
+    # clamp AFTER the cast: for bits_z > 24, f32(2^bits_z - 1) rounds UP to
+    # 2^bits_z, so u == 1.0 would otherwise overflow into the tile bits
+    # (wrapping the deepest pair's zq to 0 — front of its tile)
+    zq = jnp.minimum((u * jnp.float32((1 << bits_z) - 1) + 0.5)
+                     .astype(jnp.int32), jnp.int32((1 << bits_z) - 1))
+    return (tile_key << bits_z) | zq
+
+
+def dequantize_depth_key_affine(key: jnp.ndarray, bits_z: int,
+                                dmin: jnp.ndarray, inv_width: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """Inverse of the affine key's quantization (error <= half a bucket =
+    ~2^-22 of the live depth range — far inside any loss's sensitivity)."""
+    zq = (key & ((1 << bits_z) - 1)).astype(jnp.float32)
+    return dmin + zq / (jnp.float32((1 << bits_z) - 1) * inv_width)
+
+
 def pack2_f16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Round two f32 rows to f16 and pack them into one i32 sort row.
 
@@ -142,7 +188,8 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
                     scan_impl: str = "matmul_split3",
                     pack_records: bool = False,
                     unsort_impl: str = "sort",
-                    total_order: bool = False):
+                    total_order: bool = False,
+                    tile_batch: int = 1):
     """Build the custom_vjp'd sort+composite for one static configuration.
 
     bits_z > 0 selects the fused single-key sort; quantized_depth
@@ -160,6 +207,7 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
     kw = dict(num_tiles=num_tiles, grid_w=grid_w, tile_h=tile_h,
               tile_w=tile_w, chunk=chunk, precision=precision,
               scan_impl=scan_impl, power_impl=power_impl)
+    fwd_kw = dict(kw, tile_batch=tile_batch)  # bwd kernel stays 1-tile
     pack = pack_records and bits_z > 0
 
     def _pack_rows(tile_key, geom, chan):
@@ -193,13 +241,15 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         rows_payload = (_pack_rows(tile_key, geom, chan) if pack
                         else tuple(geom) + tuple(chan))
         if bits_z > 0:
-            key = fuse_tile_depth_key(tile_key, depth, bits_z)
+            dmin, inv_w = affine_depth_range(tile_key < num_tiles, depth)
+            key = fuse_tile_depth_key_affine(tile_key, depth, bits_z,
+                                             dmin, inv_w)
             if quantized_depth:
                 arrays = (key,) + pos_t + rows_payload
                 s = lax.sort(arrays, num_keys=1, is_stable=False)
                 sk = s[0]
                 spos = s[1] if with_pos else None
-                sd = dequantize_depth_key(sk, bits_z)
+                sd = dequantize_depth_key_affine(sk, bits_z, dmin, inv_w)
                 payload = s[1 + len(pos_t):]
             else:
                 # depth_mode "exact": exact depth VALUES ride as payload but
@@ -249,14 +299,14 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         rec_t, _, starts, counts = _prepare(
             tile_key, depth, pos, geom, chan, with_pos=False)
         raw, _, _ = pallas_composite_tiles(rec_t, starts, counts,
-                                           **kw)
+                                           **fwd_kw)
         return raw
 
     def composite_fwd(tile_key, depth, pos, geom, chan):
         rec_t, spos, starts, counts = _prepare(tile_key, depth, pos,
                                                geom, chan)
         raw, log_t, n_active = pallas_composite_tiles(rec_t, starts,
-                                                      counts, **kw)
+                                                      counts, **fwd_kw)
         return raw, (rec_t, spos, starts, counts, log_t, n_active)
 
     def composite_bwd(res, d_raw):
@@ -327,7 +377,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                   precision: str = "highest", exact_cull: bool = True,
                   enum_cap: int = 0, power_impl: str = "vpu",
                   scan_impl: str = "matmul_split3",
-                  pack_records: bool = False, unsort_impl: str = "sort"
+                  pack_records: bool = False, unsort_impl: str = "sort",
+                  tile_batch: int = 1
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray]:
     """Differentiable sorted-pair render.
@@ -379,7 +430,8 @@ def render_sorted(h: int, w: int, proj: Projected, colors: jnp.ndarray,
                                 bits_z > 0 and depth_mode == "quantized",
                                 precision, power_impl, scan_impl,
                                 pack_records, unsort_impl,
-                                total_order=depth_mode == "total")
+                                total_order=depth_mode == "total",
+                                tile_batch=tile_batch)
     raw = composite(tile_key, depth, pos, geom, chan)
 
     alpha_t = raw[..., n_chan + 1]
