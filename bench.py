@@ -200,6 +200,15 @@ def main():
     # the r2-proven "base" config. If a candidate's Mosaic compile fails or
     # wedges it is skipped, so the bench still lands a nonzero number.
     candidates = [
+        # r5 structural lever: probes measured ~2 us of fixed cost per
+        # kernel grid step (920 tile steps = ~1.8 ms of the 8.6 ms frame);
+        # tile_batch=8 processes 8 tiles per step with all 8 head-chunk
+        # DMAs issued at the top of the step (see raster_fwd._kernel).
+        ("fast_tb8", RasterConfig(tile_h=16, tile_w=16, chunk=256,
+                                  max_tiles_per_gaussian=4,
+                                  power_impl="mxu",
+                                  scan_impl="matmul_block128",
+                                  pack_records=True, tile_batch=8)),
         ("fast", RasterConfig(tile_h=16, tile_w=16, chunk=256,
                               max_tiles_per_gaussian=4, power_impl="mxu",
                               scan_impl="matmul_block128",
