@@ -200,6 +200,16 @@ def main():
     # the r2-proven "base" config. If a candidate's Mosaic compile fails or
     # wedges it is skipped, so the bench still lands a nonzero number.
     candidates = [
+        # r5 cell-pipeline lever: power_impl="mxu_fused" precomputes
+        # log2-opacity rows at table build and fuses the alpha clamps,
+        # lane mask and alpha*T multiply into ~10 VPU ops/cell vs ~15
+        # (raster_fwd.chunk_logalpha_fused; CPU parity 2e-6 in
+        # tests/test_pallas.py::test_fused_op_candidate_parity).
+        ("fast_fused", RasterConfig(tile_h=16, tile_w=16, chunk=256,
+                                    max_tiles_per_gaussian=4,
+                                    power_impl="mxu_fused",
+                                    scan_impl="matmul_block128",
+                                    pack_records=True)),
         # r5 structural lever: probes measured ~2 us of fixed cost per
         # kernel grid step (920 tile steps = ~1.8 ms of the 8.6 ms frame);
         # tile_batch=8 processes 8 tiles per step with all 8 head-chunk

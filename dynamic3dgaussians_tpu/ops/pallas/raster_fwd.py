@@ -233,6 +233,37 @@ def chunk_alpha_masked_mxu(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
     return jnp.where((alpha >= ALPHA_EPS) & ok, alpha, 0.0)
 
 
+# log2(ALPHA_EPS): alpha >= eps in log2-alpha space (the fused-op path's
+# EPS cutoff compares the exponent, saving the post-exp2 compare)
+LOG2_ALPHA_EPS = -7.994353436858858
+# dead-cell exponent: far below any live log2-alpha; exp2() of it (and of
+# it plus any log-transmittance) flushes to 0.0 in f32
+DEAD_EXP = -130.0
+
+
+def chunk_logalpha_fused(g, feats16, tile_ox, tile_oy, lane_lo, lane_hi,
+                         chunk):
+    """(P, G) LOG2-alpha for the fused-op MXU path, -130 on dead cells.
+
+    Uses the two table rows the other paths leave as pad (sorted_raster.py
+    fills them when power_impl == "mxu_fused"):
+      row 6 = log2(max(opacity, 2^-100))
+      row 7 = min(row 6, log2(ALPHA_MAX))
+    so per cell:  m = min(p0 + r6, r7)  ==  log2(min(ALPHA_MAX,
+    op * exp2(min(p0, 0)))) up to one f32 rounding of log2(op) — the whole
+    alpha clamp chain (2 mins + 1 mul of the unfused path) in 2 VPU ops,
+    with the out-of-segment lane mask folded into the (1, G) clamp row
+    instead of a per-cell (P, G) iota-compare-and-select chain.
+    """
+    r6 = g[6:7, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ok = (lane >= lane_lo) & (lane < lane_hi)
+    r7m = jnp.where(ok, g[7:8, :], DEAD_EXP)       # (1, G) — not per cell
+    p0 = chunk_power_mxu(g, feats16, tile_ox, tile_oy)
+    m = jnp.minimum(p0 + r6, r7m)
+    return jnp.where(m >= LOG2_ALPHA_EPS, m, DEAD_EXP)
+
+
 def _kernel(starts_ref, counts_ref, rec_hbm,
             out_ref, logt_ref, nact_ref,
             rec_vmem, head_vmem, logt_scr, acc_scr, sems, head_sems,
@@ -279,7 +310,7 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
     for jt in range(tile_batch):
         i, base, shift, count, n_chunks = seg(jt)
         px, py = tile_pixel_coords(i, grid_w, tile_h, tile_w)
-        if power_impl == "mxu":
+        if power_impl in ("mxu", "mxu_fused"):
             tile_ox = (i % grid_w).astype(jnp.float32) * tile_w
             tile_oy = (i // grid_w).astype(jnp.float32) * tile_h
             feats16 = tile_pixel_feats(px, py, tile_ox, tile_oy, p)
@@ -294,6 +325,26 @@ def _kernel(starts_ref, counts_ref, rec_hbm,
                                          rec_vmem.at[slot], sems.at[slot])
 
         def process(records, k, shift=shift, count=count):
+            if power_impl == "mxu_fused":
+                # fused-op cell pipeline: ~10 VPU ops/cell (3 transcendental)
+                # vs ~15 on the unfused paths — alpha clamps ride the
+                # precomputed log2-opacity rows, the lane mask rides the
+                # (1, G) clamp row, and alpha * T collapses into ONE exp2
+                # of (log2-alpha + log2-T).
+                m = chunk_logalpha_fused(
+                    records[:GEOM_ROWS], feats16, tile_ox, tile_oy,
+                    shift - k * chunk, shift + count - k * chunk, chunk)
+                alpha = jnp.exp2(m)                      # (P, G)
+                logs = jnp.log2(1.0 - alpha)
+                cum_incl = lane_inclusive_scan(logs, chunk, interpret,
+                                               scan_impl)
+                w = jnp.exp2(m + (cum_incl - logs) + logt_scr[:])
+                acc_scr[:] += jax.lax.dot_general(
+                    w, records[GEOM_ROWS:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec)                  # (P, CV)
+                logt_scr[:] += cum_incl[:, chunk - 1:chunk]
+                return
             if power_impl == "mxu":
                 alpha = chunk_alpha_masked_mxu(
                     records[:GEOM_ROWS], feats16, tile_ox, tile_oy,
@@ -392,7 +443,7 @@ def pallas_composite_tiles(rec_t: jnp.ndarray,
     """
     p = tile_h * tile_w
     assert p % 8 == 0, "pallas path needs tile_h*tile_w % 8 == 0"
-    if power_impl == "mxu" and max(tile_h, tile_w) > 16:
+    if power_impl in ("mxu", "mxu_fused") and max(tile_h, tile_w) > 16:
         # tile_pixel_feats' bf16-exactness (rx*ry <= 225) breaks past
         # 16-px tiles; fail loudly instead of silently degrading alpha
         raise ValueError("power_impl='mxu' requires tile_h, tile_w <= 16")

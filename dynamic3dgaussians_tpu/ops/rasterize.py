@@ -84,7 +84,9 @@ class RasterConfig:
     exact_cull: bool = flax.struct.field(pytree_node=False, default=True)
     emit_enum_cap: int = flax.struct.field(pytree_node=False, default=0)
     # Forward-kernel alpha power evaluation: "vpu" (elementwise quadratic
-    # form) or "mxu" (bilinear-form matmul, raster_fwd.tile_pixel_feats).
+    # form), "mxu" (bilinear-form matmul, raster_fwd.tile_pixel_feats) or
+    # "mxu_fused" (mxu power + precomputed log2-opacity rows + fused
+    # alpha*T exp2 — the minimal-VPU-op cell pipeline; backward stays mxu).
     power_impl: str = flax.struct.field(pytree_node=False, default="vpu")
     # Transmittance prefix-scan implementation (raster_fwd.
     # lane_inclusive_scan): "matmul_split3" | "matmul_block128" (chunk>128)

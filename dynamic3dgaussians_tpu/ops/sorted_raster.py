@@ -208,6 +208,12 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
               tile_w=tile_w, chunk=chunk, precision=precision,
               scan_impl=scan_impl, power_impl=power_impl)
     fwd_kw = dict(kw, tile_batch=tile_batch)  # bwd kernel stays 1-tile
+    if power_impl == "mxu_fused":
+        # fused-op is a FORWARD cell-pipeline optimization; the backward
+        # keeps the proven mxu bilinear path (it differentiates the unfused
+        # alpha formula through rows 0-5 — consistent up to the one f32
+        # rounding of the forward's precomputed log2-opacity row)
+        kw["power_impl"] = "mxu"
     pack = pack_records and bits_z > 0
 
     def _pack_rows(tile_key, geom, chan):
@@ -287,7 +293,16 @@ def _make_composite(num_tiles: int, grid_w: int, tile_h: int, tile_w: int,
         # ONE merged record table (geom rows on top, value rows below) so
         # the kernels issue a single DMA per chunk
         rows = list(payload[:6])                   # x, y, ca, cb, cc, op
-        rows += [jnp.zeros_like(sd, jnp.float32)] * (GEOM_ROWS - 6)
+        if power_impl == "mxu_fused":
+            # the fused forward's precomputed opacity rows (raster_fwd.py
+            # chunk_logalpha_fused): one log2+min pass over the sorted
+            # table replaces a per-CELL mul + 2 mins + mask select chain
+            log_op = jnp.log2(jnp.maximum(rows[5], jnp.float32(2.0 ** -100)))
+            from dynamic3dgaussians_tpu.ops.compositing import ALPHA_MAX
+            rows += [log_op,
+                     jnp.minimum(log_op, jnp.float32(np.log2(ALPHA_MAX)))]
+        else:
+            rows += [jnp.zeros_like(sd, jnp.float32)] * (GEOM_ROWS - 6)
         rows += list(payload[6:]) + [sd, jnp.ones_like(sd)]
         rows += [jnp.zeros_like(sd)] * (cv_pad - cv)
         rec_t = jnp.pad(jnp.stack(rows, 0), ((0, 0), (0, pad)))

@@ -72,6 +72,11 @@ class TrainConfig:
     # "exact" = O(N^2) MXU matmuls; "approx" = Morton-window (use above
     # ~500k gaussians: seconds instead of minutes, >90% neighbor recall)
     knn_method: str = "exact"
+    # windowed one-hot MXU neighbor fetch for the frozen post-t0 graph —
+    # exact (ops/neighbor.WindowPlan) but measured SLOWER than the default
+    # fg-prefix gather on TPU (artifacts/neighbor_window_probe.log), so
+    # off unless the graph's RCM bandwidth is unusually tight
+    neighbor_window: bool = False
     semantic_dim: int = 0
     sh_degree: int = 0
     # losses / lrs

@@ -224,7 +224,7 @@ def train_ego(ego_dataset, stat_dataset, cfg: TrainConfig,
         if is_initial:
             params, variables, opt_state, _ = G.compact_with_optimizer(
                 params, variables, opt_state)
-            variables = initialize_post_first_timestep(params, variables,
-                                                       cfg)
+            params, variables, opt_state = initialize_post_first_timestep(
+                params, variables, cfg, opt_state)
         output_params.append(params_to_cpu(params, variables, is_initial))
     return output_params, params, variables

@@ -111,10 +111,12 @@ def physics_losses(act_means: jnp.ndarray, act_rots: jnp.ndarray,
     """
     from dynamic3dgaussians_tpu.ops.neighbor import (EdgeReduction,
                                                      lookup_components)
+    from dynamic3dgaussians_tpu.train.trainer import window_from_variables
 
     idx = variables["neighbor_indices"]
     plan = EdgeReduction(variables["edge_rank"], variables["edge_row_ptr"],
                          0)
+    window = window_from_variables(variables)
     w = variables["neighbor_weight"].T                       # (K, cap)
     fg = is_fg & alive
     row_ok = fg[None, :] & (idx.T >= 0)                      # (K, cap)
@@ -126,7 +128,8 @@ def physics_losses(act_means: jnp.ndarray, act_rots: jnp.ndarray,
                       rel_rot[:, 3])
 
     nx, ny, nz, nq0, nq1, nq2, nq3 = lookup_components(
-        (mx, my, mz, q0, q1, q2, q3), idx, plan)             # (K, cap) each
+        (mx, my, mz, q0, q1, q2, q3), idx, plan,
+        window=window)                                       # (K, cap) each
 
     ox = nx - mx[None, :]
     oy = ny - my[None, :]

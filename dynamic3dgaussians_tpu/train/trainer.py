@@ -229,6 +229,17 @@ def stack_timestep_data(data_t: List[Dict]):
                         *data_t)
 
 
+def window_from_variables(variables: Dict):
+    """Reassemble the WindowPlan stored by initialize_post_first_timestep
+    (None when the locality reorder / windowed fetch is disabled)."""
+    if "win_start" not in variables:
+        return None
+    from dynamic3dgaussians_tpu.ops.neighbor import WindowPlan
+    return WindowPlan(variables["win_start"], variables["win_idx_local"],
+                      variables["win_lanes"], variables["win_spill_row"],
+                      variables["win_spill_k"], variables["win_spill_src"])
+
+
 def initialize_per_timestep(params: Dict, variables: Dict,
                             opt_state: optim.AdamState):
     """Forward-extrapolation init + previous-state caching (t > 0).
@@ -247,7 +258,8 @@ def initialize_per_timestep(params: Dict, variables: Dict,
     idx = variables["neighbor_indices"]
     plan = EdgeReduction(variables["edge_rank"], variables["edge_row_ptr"], 0)
     nx, ny, nz = lookup_components((pts[:, 0], pts[:, 1], pts[:, 2]), idx,
-                                   plan)
+                                   plan, window=window_from_variables(
+                                       variables))
     # previous-frame neighbor offsets, feature-major (3, K, cap)
     prev_offset = jnp.stack([nx - pts[None, :, 0], ny - pts[None, :, 1],
                              nz - pts[None, :, 2]], axis=0)
@@ -273,12 +285,24 @@ def initialize_per_timestep(params: Dict, variables: Dict,
 
 
 def initialize_post_first_timestep(params: Dict, variables: Dict,
-                                   cfg: TrainConfig):
+                                   cfg: TrainConfig, opt_state=None):
     """Build the foreground 20-NN graph and freeze the t0-only state.
 
     Reference train_beffor.py:243-263. The kNN runs on-device over the
     capacity-padded table masked to alive foreground slots; indices are
     global slot ids (-1 for non-fg rows), so no fg compaction is needed.
+
+    When `opt_state` is given the table is additionally row-reordered ONCE
+    (reverse Cuthill-McKee over the fg subgraph, FOREGROUND ROWS FIRST)
+    and the edge plan is restricted to that prefix: the physics-loss
+    neighbor fetch — whose fwd gather + bwd rank-sort IS essentially the
+    whole t>0 physics cost on TPU (artifacts/neighbor_window_probe.log) —
+    then rides n_fg*K edge slots instead of cap*K (2.6x fewer at the
+    131k-cap/49k-fg probe scale). cfg.neighbor_window additionally stores
+    a WindowPlan for the one-hot MXU fetch variant (opt-in; measured
+    slower than the prefix gather).
+
+    Returns (params, variables, opt_state).
     """
     alive = variables["alive"]
     is_fg = (params["seg_colors"][:, 0] > 0.5) & alive
@@ -288,11 +312,55 @@ def initialize_post_first_timestep(params: Dict, variables: Dict,
     else:
         sq_dist, idx = knn(params["means3D"], cfg.num_knn, mask=is_fg)
     sq_dist = jnp.where(idx >= 0, sq_dist, 0.0)
-    # static backward plan for the fixed graph (sort-based edge reduction)
-    from dynamic3dgaussians_tpu.ops.neighbor import build_edge_reduction
-    plan = build_edge_reduction(np.asarray(idx))
 
     new_vars = dict(variables)
+    n_dst = None
+    if opt_state is not None:
+        from dynamic3dgaussians_tpu.ops.neighbor import (build_window_plan,
+                                                         locality_order)
+        cap = int(alive.shape[0])
+        idx_h = np.asarray(idx)
+        fg_rows = np.flatnonzero(np.asarray(is_fg))
+        if fg_rows.size:
+            perm = locality_order(idx_h, fg_rows, cap)
+            inv = np.empty(cap, np.int64)
+            inv[perm] = np.arange(cap)
+            porder = jnp.asarray(perm)
+            params = {k: (v if k in G.CAMERA_KEYS else v[porder])
+                      for k, v in params.items()}
+            for k in ("alive", "means2D_gradient_accum", "denom",
+                      "max_2D_radius"):
+                new_vars[k] = new_vars[k][porder]
+            opt_state = optim.AdamState(
+                mu={k: (v if k in G.CAMERA_KEYS else v[porder])
+                    for k, v in opt_state.mu.items()},
+                nu={k: (v if k in G.CAMERA_KEYS else v[porder])
+                    for k, v in opt_state.nu.items()},
+                step=opt_state.step)
+            idx_h = np.where(idx_h[perm] >= 0,
+                             inv[np.maximum(idx_h[perm], 0)],
+                             -1).astype(np.int32)
+            idx = jnp.asarray(idx_h)
+            sq_dist = sq_dist[porder]
+            n_dst = int(fg_rows.size)      # fg prefix carries all edges now
+            if getattr(cfg, "neighbor_window", False):
+                # windowed one-hot MXU fetch — exact but measured SLOWER
+                # than the prefix gather on hardware (artifacts/
+                # neighbor_window_probe.log: 21.3 vs 14.2 ms fwd, and the
+                # prefix plan cuts the gather another 2.6x) — kept opt-in
+                window = build_window_plan(idx_h, n_dst)
+                new_vars["win_start"] = window.win_start
+                new_vars["win_idx_local"] = window.idx_local
+                new_vars["win_lanes"] = window.lanes
+                new_vars["win_spill_row"] = window.spill_row
+                new_vars["win_spill_k"] = window.spill_k
+                new_vars["win_spill_src"] = window.spill_src
+
+    # static backward plan for the fixed graph (sort-based edge reduction,
+    # restricted to the fg prefix when the reorder ran)
+    from dynamic3dgaussians_tpu.ops.neighbor import build_edge_reduction
+    plan = build_edge_reduction(np.asarray(idx), n_dst=n_dst)
+
     new_vars["neighbor_indices"] = idx
     new_vars["edge_rank"] = plan.rank
     new_vars["edge_row_ptr"] = plan.row_ptr
@@ -304,7 +372,7 @@ def initialize_post_first_timestep(params: Dict, variables: Dict,
     new_vars["init_bg_rot"] = rot
     new_vars["prev_pts"] = params["means3D"]
     new_vars["prev_rot"] = rot
-    return new_vars
+    return params, new_vars, opt_state
 
 
 def params_to_cpu(params: Dict, variables: Dict, is_initial: bool) -> Dict:
@@ -526,7 +594,8 @@ def train(dataset: List[List[Dict]], cfg: TrainConfig,
             # stacked checkpoints stay contiguous; topology is frozen now.
             params, variables, opt_state, _ = G.compact_with_optimizer(
                 params, variables, opt_state)
-            variables = initialize_post_first_timestep(params, variables, cfg)
+            params, variables, opt_state = initialize_post_first_timestep(
+                params, variables, cfg, opt_state)
         output_params.append(params_to_cpu(params, variables, is_initial))
         if "on_timestep" in callbacks:
             callbacks["on_timestep"](t, params, variables)

@@ -271,6 +271,43 @@ def test_bench_fast_candidate_parity():
         assert rel <= max(1e-2 * na, 3e-5), (rel, na)
 
 
+def test_fused_op_candidate_parity():
+    """power_impl="mxu_fused" (precomputed log2-opacity rows + fused
+    alpha*T exp2, raster_fwd.chunk_logalpha_fused) must match the mxu
+    config to ~f32 rounding on the image — the ONLY added error is one
+    log2(op) rounding — and its grads (backward runs the proven mxu path)
+    to the same tolerance class as mxu-vs-vpu."""
+    import dataclasses as dc
+    args = _args(n=150, seed=11)
+    bg = jnp.asarray([0.15, 0.1, 0.2])
+    mxu = dc.replace(CFG, max_tiles_per_gaussian=8, power_impl="mxu",
+                     chunk=256, scan_impl="matmul_block128",
+                     pack_records=True)
+    fused = dc.replace(mxu, power_impl="mxu_fused")
+    o0 = render(*args, config=mxu, bg=bg, method="pallas")
+    o1 = render(*args, config=fused, bg=bg, method="pallas")
+    np.testing.assert_allclose(np.asarray(o1.rgb), np.asarray(o0.rgb),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1.alpha), np.asarray(o0.alpha),
+                               atol=2e-6)
+    assert int(o1.n_dropped_rect) == 0
+
+    def loss(cfg):
+        def f(m, c, o, s, q):
+            out = render(args[0], m, c, o, s, q, method="pallas",
+                         config=cfg, bg=bg)
+            return jnp.mean((out.rgb - 0.3) ** 2) + 0.01 * jnp.mean(
+                out.alpha)
+        return f
+
+    g0 = jax.grad(loss(mxu), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g1 = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b in zip(g0, g1):
+        na = float(np.linalg.norm(np.asarray(a).ravel()))
+        rel = float(np.linalg.norm((np.asarray(b) - np.asarray(a)).ravel()))
+        assert rel <= max(1e-3 * na, 3e-5), (rel, na)
+
+
 def test_gather_unsort_grads_bitwise_equal():
     """unsort_impl="gather" (2-row argsort + packed-row gathers,
     sorted_raster.py) must produce BITWISE-identical gradients to the

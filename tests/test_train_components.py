@@ -262,6 +262,92 @@ def test_neighbor_lookup_grads_match_autodiff_gather():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_neighbor_lookup_windowed_exact():
+    """Windowed one-hot MXU forward == gather forward on valid edges,
+    0.0 on invalid edges; backward == the shared sort-based plan."""
+    from dynamic3dgaussians_tpu.ops.neighbor import (build_edge_reduction,
+                                                     build_window_plan,
+                                                     locality_order,
+                                                     neighbor_lookup_win)
+    rng = np.random.RandomState(1)
+    cap, k, f, n_fg = 300, 6, 8, 200
+    # local-ish graph so RCM has structure to exploit
+    pts = rng.normal(size=(cap, 3)).astype(np.float32)
+    d = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1)[:, 1:k + 1].astype(np.int32)
+    idx[n_fg:] = -1                      # only fg rows carry edges
+    idx[3, 4] = -1
+    perm = locality_order(idx, np.arange(n_fg), cap)
+    inv = np.empty(cap, np.int64)
+    inv[perm] = np.arange(cap)
+    idx = np.where(idx[perm] >= 0, inv[np.maximum(idx[perm], 0)],
+                   -1).astype(np.int32)
+    # tiny window forces the exact spill path to be exercised too
+    window = build_window_plan(idx, n_fg, block=64, w_max=128)
+    plan = build_edge_reduction(idx)
+    tbl = jnp.asarray(rng.normal(size=(cap, f)), jnp.float32)
+    idx_j = jnp.asarray(idx)
+
+    got = neighbor_lookup_win(tbl, idx_j, plan, window, k)
+    ref = tbl[jnp.maximum(idx_j, 0)].transpose(2, 1, 0)
+    mask = (idx_j >= 0).T[None]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.where(mask, ref, 0.0)),
+                               atol=0.0)                 # bitwise
+    cot = jnp.asarray(rng.normal(size=(f, k, cap)), jnp.float32)
+
+    def ours(t):
+        return jnp.sum(neighbor_lookup_win(t, idx_j, plan, window, k) * cot)
+
+    def gref(t):
+        rec = t[jnp.maximum(idx_j, 0)].transpose(2, 1, 0)
+        return jnp.sum(jnp.where(mask, rec, 0.0)
+                       * jnp.where(mask, cot, 0.0))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(tbl)),
+                               np.asarray(jax.grad(gref)(tbl)),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_neighbor_lookup_prefix_plan_exact():
+    """A plan built with n_dst < cap (fg-prefix graph) must reproduce the
+    full plan's forward on valid edges and its gradient bitwise — only the
+    gathered/sorted edge-slot count changes (the t>0 speed lever)."""
+    from dynamic3dgaussians_tpu.ops.neighbor import (build_edge_reduction,
+                                                     neighbor_lookup)
+    rng = np.random.RandomState(3)
+    cap, k, f, n_fg = 96, 5, 8, 41
+    tbl = jnp.asarray(rng.normal(size=(cap, f)), jnp.float32)
+    idx = np.full((cap, k), -1, np.int32)
+    idx[:n_fg] = rng.randint(0, n_fg, (n_fg, k))
+    idx[2, 3] = -1
+    idx_j = jnp.asarray(idx)
+    full = build_edge_reduction(idx)
+    pre = build_edge_reduction(idx, n_dst=n_fg)
+    assert pre.row_ptr.shape[0] - 1 == 48           # rounded up to 8
+    mask = (idx_j >= 0).T[None]
+    a = jnp.where(mask, neighbor_lookup(tbl, idx_j, full, k), 0.0)
+    b = jnp.where(mask, neighbor_lookup(tbl, idx_j, pre, k), 0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cot = jnp.asarray(rng.normal(size=(f, k, cap)), jnp.float32)
+
+    def loss(plan):
+        def f_(t):
+            return jnp.vdot(jnp.where(mask, neighbor_lookup(
+                t, idx_j, plan, k), 0.0) ** 2, cot)
+        return f_
+
+    g_full = jax.grad(loss(full))(tbl)
+    g_pre = jax.grad(loss(pre))(tbl)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_pre))
+    # a valid edge beyond n_dst must be rejected at build time
+    bad = idx.copy()
+    bad[n_fg + 20, 0] = 3
+    import pytest
+    with pytest.raises(AssertionError):
+        build_edge_reduction(bad, n_dst=n_fg)
+
+
 def test_grow_capacity_pads_params_vars_and_adam():
     params, variables, opt_state, n = _toy_state(cap=32, n=30)
     opt_state = optim.step(

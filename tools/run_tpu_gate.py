@@ -47,6 +47,9 @@ SHIPPING_CONFIGS = {
     # bench.py "fast" forward candidate, verbatim
     "fast_bench": {"power_impl": "mxu", "chunk": 256,
                    "scan_impl": "matmul_block128", "pack_records": True},
+    # bench.py "fast_fused" r5 candidate, verbatim (fused-op cell pipeline)
+    "fast_fused": {"power_impl": "mxu_fused", "chunk": 256,
+                   "scan_impl": "matmul_block128", "pack_records": True},
     # trainer shipping combo (bench train phase + tools/scale_run.py)
     "train_ship": {"pack_records": True, "unsort_impl": "gather",
                    "power_impl": "mxu"},
