@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--steps_per_call", type=int, default=1,
                     help="on-device lax.scan window (VERDICT r4 item 3: "
                     "amortizes the relay's per-dispatch latency)")
+    ap.add_argument("--no_densify", action="store_true",
+                    help="freeze capacity (init N is already the target "
+                    "scale): keeps every t>0 shape identical to the "
+                    "bench_t1_step probe so the compile cache hits")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--save_params", type=str, default=None,
                     help="write the stacked per-timestep params npz here "
@@ -70,8 +74,9 @@ def main():
         iters_first_timestep=args.iters0,
         iters_per_timestep=args.iters,
         capacity=G.round_capacity(int(args.n * 1.3)),
-        densify_start=100, densify_every=100,
-        densify_end=min(args.iters0, 5000),
+        densify_start=(10**9 if args.no_densify else 100),
+        densify_every=100,
+        densify_end=(0 if args.no_densify else min(args.iters0, 5000)),
         grow_capacity=True, report_every=100,
         steps_per_call=args.steps_per_call,
         # bound the CPU oracle's sort length under K escalation (pallas
